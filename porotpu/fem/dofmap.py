@@ -1,0 +1,189 @@
+"""Dof numbering for P1/P2 Lagrange spaces and the field-major mixed space.
+
+Replaces DOLFIN dofmaps + lib/IndexSet.py of the reference.  A key TPU-first
+design decision (SURVEY.md §7.1): the mixed space uses **field-major global
+numbering** ``[solid | fluid | pressure]`` so the reference's index sets
+``is_s/is_f/is_p/is_fp`` (lib/IndexSet.py:57-60) become contiguous slices and
+per-field blocks are assembled directly — eliminating the numba membership
+kernel (lib/IndexSet.py:10-26) and PETSc createSubMatrix gathers
+(lib/Preconditioner.py:61-68) entirely.
+
+Vector dofs are node-interleaved within a field: node n, component c ->
+local dof n*dim + c.  This yields dense (dim x dim) node blocks, the unit
+of the block-ELL device format.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .elements import edge_list, num_basis
+from .mesh import Mesh
+
+
+def _build_edges(mesh: Mesh):
+    """Unique mesh edges and per-cell edge ids; also facet->edge lookup."""
+    el = edge_list(mesh.dim)
+    e = np.sort(mesh.cells[:, el].reshape(-1, 2), axis=1)
+    uniq, inv = np.unique(e, axis=0, return_inverse=True)
+    cell_edges = inv.reshape(mesh.num_cells, el.shape[0])
+    return uniq, cell_edges
+
+
+class FunctionSpace:
+    """Scalar or vector continuous Lagrange space on a Mesh."""
+
+    def __init__(self, mesh: Mesh, degree: int, vector: bool = False):
+        self.mesh = mesh
+        self.degree = degree
+        self.vector = vector
+        self.dim = mesh.dim  # geometric = value dimension for vector spaces
+        nv = mesh.num_vertices
+
+        if degree == 1:
+            self.num_nodes = nv
+            self.cell_nodes = mesh.cells.copy()
+            self.node_coords = mesh.vertices.copy()
+            self.edges = None
+            self.cell_edges = None
+        elif degree == 2:
+            edges, cell_edges = _build_edges(mesh)
+            self.edges = edges
+            self.cell_edges = cell_edges
+            self.num_nodes = nv + edges.shape[0]
+            self.cell_nodes = np.concatenate(
+                [mesh.cells, nv + cell_edges], axis=1
+            ).astype(np.int64)
+            mid = 0.5 * (mesh.vertices[edges[:, 0]] + mesh.vertices[edges[:, 1]])
+            self.node_coords = np.concatenate([mesh.vertices, mid], axis=0)
+        else:
+            raise ValueError("degree must be 1 or 2")
+
+        self.ncomp = self.dim if vector else 1
+        self.num_dofs = self.num_nodes * self.ncomp
+        self.nb_scalar = num_basis(mesh.dim, degree)
+
+        if vector:
+            # (nc, nb_scalar*dim): node-interleaved
+            cn = self.cell_nodes
+            cd = (cn[:, :, None] * self.ncomp + np.arange(self.ncomp)[None, None, :])
+            self.cell_dofs = cd.reshape(mesh.num_cells, -1).astype(np.int64)
+        else:
+            self.cell_dofs = self.cell_nodes
+
+        self._bnodes = None  # lazy: nodes on the boundary
+
+    # -- boundary queries ---------------------------------------------------
+
+    def facet_nodes(self, facet_ids: np.ndarray) -> np.ndarray:
+        """All space nodes lying on the given boundary facets (unique)."""
+        mesh = self.mesh
+        f = mesh.boundary_facets[facet_ids]
+        nodes = [f.ravel()]
+        if self.degree == 2:
+            # midpoint nodes of the facet's edges
+            nv = mesh.num_vertices
+            if mesh.dim == 2:
+                fe = np.sort(f, axis=1)  # facet IS an edge
+                eids = self._edge_lookup(fe)
+                nodes.append(nv + eids)
+            else:
+                # 3 edges per triangular facet
+                pairs = np.concatenate(
+                    [f[:, [0, 1]], f[:, [0, 2]], f[:, [1, 2]]], axis=0
+                )
+                eids = self._edge_lookup(np.sort(pairs, axis=1))
+                nodes.append(nv + eids)
+        return np.unique(np.concatenate(nodes))
+
+    def _edge_lookup(self, pairs: np.ndarray) -> np.ndarray:
+        """Map sorted vertex pairs to edge ids (requires degree 2)."""
+        edges = self.edges
+        # encode pair as single integer key for searchsorted
+        nvv = self.mesh.num_vertices + 1
+        key_all = edges[:, 0].astype(np.int64) * nvv + edges[:, 1]
+        order = np.argsort(key_all)
+        key_q = pairs[:, 0].astype(np.int64) * nvv + pairs[:, 1]
+        pos = np.searchsorted(key_all[order], key_q)
+        eids = order[pos]
+        assert np.all(key_all[eids] == key_q), "edge lookup failed"
+        return eids
+
+    def boundary_nodes(self) -> np.ndarray:
+        if self._bnodes is None:
+            nf = self.mesh.boundary_facets.shape[0]
+            self._bnodes = self.facet_nodes(np.arange(nf))
+        return self._bnodes
+
+    def nodes_to_dofs(self, nodes: np.ndarray, component=None) -> np.ndarray:
+        """Global dofs (within this space) of the given nodes.
+
+        ``component``: None -> all components; int -> that component only.
+        """
+        if not self.vector:
+            return np.asarray(nodes, dtype=np.int64)
+        nodes = np.asarray(nodes, dtype=np.int64)
+        if component is None:
+            return (
+                nodes[:, None] * self.ncomp + np.arange(self.ncomp)[None, :]
+            ).ravel()
+        return nodes * self.ncomp + int(component)
+
+    def dof_coords(self) -> np.ndarray:
+        """(num_dofs, dim) coordinates of each dof's node."""
+        if not self.vector:
+            return self.node_coords
+        return np.repeat(self.node_coords, self.ncomp, axis=0)
+
+
+@dataclass
+class FieldSlice:
+    name: str
+    offset: int
+    size: int
+
+    @property
+    def slice(self) -> slice:
+        return slice(self.offset, self.offset + self.size)
+
+
+class MixedSpace:
+    """Field-major composition of FunctionSpaces: [field0 | field1 | ...].
+
+    Provides the role of the reference's mixed FE space + IndexSet
+    (lib/Poromechanics.py:14-18, lib/IndexSet.py:30-61): per-field dof
+    ranges are contiguous slices.
+    """
+
+    def __init__(self, spaces: dict):
+        """spaces: ordered {name: FunctionSpace}."""
+        self.spaces = dict(spaces)
+        self.fields = []
+        off = 0
+        for name, sp in self.spaces.items():
+            self.fields.append(FieldSlice(name, off, sp.num_dofs))
+            off += sp.num_dofs
+        self.num_dofs = off
+        self._by_name = {f.name: f for f in self.fields}
+
+    def field(self, name: str) -> FieldSlice:
+        return self._by_name[name]
+
+    def space(self, name: str) -> FunctionSpace:
+        return self.spaces[name]
+
+    def offset(self, name: str) -> int:
+        return self._by_name[name].offset
+
+    def get_dimensions(self):
+        """(ns, nf, np) — reference lib/IndexSet.py:63-64 parity."""
+        return tuple(f.size for f in self.fields)
+
+    def global_dofs(self, name: str, local_dofs: np.ndarray) -> np.ndarray:
+        return np.asarray(local_dofs, dtype=np.int64) + self.offset(name)
+
+    def split(self, x):
+        """Split a monolithic vector into per-field views."""
+        return {f.name: x[f.slice] for f in self.fields}

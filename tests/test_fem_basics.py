@@ -1,0 +1,246 @@
+"""Unit tests for quadrature, elements, meshes, and assembly kernels.
+
+Oracle strategy (SURVEY.md §4): analytic identities (partition of unity,
+rigid-body nullspaces, exact integrals of polynomials) and scipy direct
+solves of manufactured problems.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from porotpu.fem import assemble, elements, quadrature
+from porotpu.fem.dofmap import FunctionSpace, MixedSpace
+from porotpu.fem.mesh import (
+    generate_cube,
+    generate_footing_square,
+    generate_square,
+    refine_uniform,
+)
+
+
+def _monomial_integral_tri(px, py):
+    # ∫_T x^p y^q over reference triangle = p! q! / (p+q+2)!
+    from math import factorial
+
+    return factorial(px) * factorial(py) / factorial(px + py + 2)
+
+
+def _monomial_integral_tet(p, q, r):
+    from math import factorial
+
+    return factorial(p) * factorial(q) * factorial(r) / factorial(p + q + r + 3)
+
+
+@pytest.mark.parametrize("deg", [2, 4])
+def test_quadrature_tri_exactness(deg):
+    pts, wts = quadrature.simplex_rule(2, deg)
+    for p in range(deg + 1):
+        for q in range(deg + 1 - p):
+            val = np.sum(wts * pts[:, 0] ** p * pts[:, 1] ** q)
+            assert np.isclose(val, _monomial_integral_tri(p, q), atol=1e-12)
+
+
+@pytest.mark.parametrize("deg", [2, 4])
+def test_quadrature_tet_exactness(deg):
+    pts, wts = quadrature.simplex_rule(3, deg)
+    for p in range(deg + 1):
+        for q in range(deg + 1 - p):
+            for r in range(deg + 1 - p - q):
+                val = np.sum(
+                    wts * pts[:, 0] ** p * pts[:, 1] ** q * pts[:, 2] ** r
+                )
+                assert np.isclose(val, _monomial_integral_tet(p, q, r), atol=1e-12)
+
+
+@pytest.mark.parametrize("dim,deg", [(2, 1), (2, 2), (3, 1), (3, 2)])
+def test_partition_of_unity(dim, deg):
+    pts, _ = quadrature.simplex_rule(dim, 4)
+    phi, dphi = elements.tabulate(dim, deg, pts)
+    assert np.allclose(phi.sum(axis=1), 1.0)
+    assert np.allclose(dphi.sum(axis=1), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("dim,deg", [(2, 2), (3, 2)])
+def test_lagrange_property(dim, deg):
+    # basis i equals 1 at node i, 0 at others
+    if dim == 2:
+        nodes = np.array(
+            [[0, 0], [1, 0], [0, 1], [0.5, 0.5], [0, 0.5], [0.5, 0]], dtype=float
+        )
+    else:
+        verts = np.vstack([np.zeros(3), np.eye(3)])
+        edges = elements.TET_EDGES
+        mids = 0.5 * (verts[edges[:, 0]] + verts[edges[:, 1]])
+        nodes = np.vstack([verts, mids])
+    phi, _ = elements.tabulate(dim, deg, nodes)
+    assert np.allclose(phi, np.eye(len(nodes)), atol=1e-12)
+
+
+def test_mesh_counts_and_area():
+    mesh, markers, *_ = generate_square(4, 2.0)
+    assert mesh.num_vertices == 25
+    assert mesh.num_cells == 32
+    _, detJ = assemble.cell_geometry(mesh)
+    assert np.isclose(detJ.sum() * 0.5, 4.0)  # area = 2x2
+
+    mesh3, *_ = generate_cube(2, 3.0)
+    _, detJ3 = assemble.cell_geometry(mesh3)
+    assert np.isclose(detJ3.sum() / 6.0, 27.0)
+
+
+def test_boundary_facets_square():
+    mesh, markers, LEFT, RIGHT, TOP, BOTTOM, NONE = generate_square(4, 1.0)
+    # 4 sides x 4 facets
+    assert mesh.boundary_facets.shape[0] == 16
+    for tag in (LEFT, RIGHT, TOP, BOTTOM):
+        assert len(markers.facets_with([tag])) == 4
+    n = mesh.boundary_facet_normals()
+    # all normals unit and axis-aligned
+    assert np.allclose(np.linalg.norm(n, axis=1), 1.0)
+
+
+def test_uniform_refine_preserves_volume():
+    mesh, *_ = generate_square(2, 1.0)
+    r = refine_uniform(mesh)
+    assert r.num_cells == 4 * mesh.num_cells
+    _, detJ = assemble.cell_geometry(r)
+    assert np.isclose(detJ.sum() * 0.5, 1.0)
+
+    mesh3, *_ = generate_cube(2, 1.0)
+    r3 = refine_uniform(mesh3)
+    assert r3.num_cells == 8 * mesh3.num_cells
+    _, detJ3 = assemble.cell_geometry(r3)
+    assert np.isclose(detJ3.sum() / 6.0, 1.0)
+
+
+def _check_conforming(mesh):
+    # every interior facet appears exactly twice
+    d = mesh.dim
+    if d == 2:
+        locf = np.array([[1, 2], [0, 2], [0, 1]])
+    else:
+        locf = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]])
+    facets = np.sort(mesh.cells[:, locf].reshape(-1, d), axis=1)
+    _, counts = np.unique(facets, axis=0, return_counts=True)
+    assert counts.max() <= 2
+
+
+def test_footing_mesh_locally_refined_and_conforming():
+    mesh, markers, *_ = generate_footing_square(8, 64.0)
+    _check_conforming(mesh)
+    _, detJ = assemble.cell_geometry(mesh)
+    assert np.isclose(detJ.sum() * 0.5, 64.0**2)
+    # refined zone has smaller cells than the coarse zone
+    vc = mesh.vertices[mesh.cells]
+    top_center = (vc[:, :, 1].min(axis=1) > 2 * 64 / 3) & (
+        (vc[:, :, 0].min(axis=1) > 64 / 8) & (vc[:, :, 0].max(axis=1) < 7 * 64 / 8)
+    )
+    areas = detJ * 0.5
+    assert areas[top_center].mean() < 0.5 * areas[~top_center].mean()
+
+
+def test_mass_matrix_total():
+    mesh, *_ = generate_square(4, 1.0)
+    Vp = FunctionSpace(mesh, 1)
+    M = assemble.mass(Vp)
+    assert np.isclose(M.sum(), 1.0)
+    V2 = FunctionSpace(mesh, 2)
+    M2 = assemble.mass(V2)
+    assert np.isclose(M2.sum(), 1.0)
+    Vv = FunctionSpace(mesh, 2, vector=True)
+    Mv = assemble.mass(Vv)
+    assert np.isclose(Mv.sum(), 2.0)  # one per component
+
+
+def test_stiffness_nullspace_and_poisson():
+    mesh, markers, LEFT, RIGHT, TOP, BOTTOM, NONE = generate_square(8, 1.0)
+    V = FunctionSpace(mesh, 2)
+    K = assemble.stiffness(V)
+    ones = np.ones(V.num_dofs)
+    assert np.allclose(K @ ones, 0.0, atol=1e-10)
+
+    # manufactured: -lap u = f, u = sin(pi x) sin(pi y), homogeneous Dirichlet
+    x = V.node_coords
+    uex = np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+    f = 2 * np.pi**2 * uex
+    M = assemble.mass(V)
+    b = M @ f
+    bdofs = V.boundary_nodes()
+    from porotpu.fem.bcs import apply_bcs_matrix, apply_bcs_vector
+
+    Kb = apply_bcs_matrix(K.tocsr(), bdofs)
+    bb = apply_bcs_vector(b, bdofs, np.zeros(bdofs.size))
+    u = spla.spsolve(Kb.tocsc(), bb)
+    assert np.max(np.abs(u - uex)) < 5e-3  # P2, h=1/8
+
+
+def test_hooke_rigid_modes():
+    mesh, *_ = generate_square(4, 1.0)
+    V = FunctionSpace(mesh, 2, vector=True)
+    K = assemble.hooke(V, mu=3.0, lam=2.0)
+    x = V.node_coords
+    # translations
+    for c in range(2):
+        u = np.zeros(V.num_dofs)
+        u[c::2] = 1.0
+        assert np.allclose(K @ u, 0.0, atol=1e-9)
+    # rotation (-y, x)
+    u = np.zeros(V.num_dofs)
+    u[0::2] = -x[:, 1]
+    u[1::2] = x[:, 0]
+    assert np.allclose(K @ u, 0.0, atol=1e-9)
+
+
+def test_div_coupling_exact():
+    mesh, *_ = generate_square(4, 1.0)
+    Q = FunctionSpace(mesh, 1)
+    V = FunctionSpace(mesh, 2, vector=True)
+    D = assemble.div_coupling(Q, V)
+    # u = (x, y): div u = 2 -> D u = 2 * ∫ psi = 2 * M_q @ 1
+    u = np.zeros(V.num_dofs)
+    u[0::2] = V.node_coords[:, 0]
+    u[1::2] = V.node_coords[:, 1]
+    Mq = assemble.mass(Q)
+    assert np.allclose(D @ u, 2.0 * (Mq @ np.ones(Q.num_dofs)), atol=1e-12)
+
+
+def test_facet_load_constant_traction():
+    from porotpu.fem.mesh import generate_boundary_measure
+    from porotpu.models.loads import ConstantLoad
+
+    mesh, markers, LEFT, RIGHT, TOP, BOTTOM, NONE = generate_square(4, 2.0)
+    V = FunctionSpace(mesh, 2, vector=True)
+    ds_top = generate_boundary_measure(mesh, markers, [TOP])
+    g = ConstantLoad([0.0, -5.0])
+    b = assemble.facet_load(V, ds_top, g, t=0.0)
+    # total force = traction * side length
+    assert np.isclose(b[0::2].sum(), 0.0)
+    assert np.isclose(b[1::2].sum(), -10.0)
+
+
+def test_facet_load_normal_3d():
+    from porotpu.fem.mesh import generate_boundary_measure
+    from porotpu.models.loads import NormalLoad
+
+    mesh, markers, XP, XM, YP, YM, ZP, ZM = generate_cube(2, 1.0)
+    V = FunctionSpace(mesh, 2, vector=True)
+    ds = generate_boundary_measure(mesh, markers, [ZP])
+    g = NormalLoad(lambda t: -3.0)
+    b = assemble.facet_load(V, ds, g, t=1.0)
+    # outward normal on ZP is +z: total force = -3 * area = -3
+    assert np.isclose(b[2::3].sum(), -3.0)
+    assert np.isclose(b[0::3].sum(), 0.0, atol=1e-12)
+
+
+def test_mixed_space_layout():
+    mesh, *_ = generate_square(3, 1.0)
+    Vs = FunctionSpace(mesh, 2, vector=True)
+    Vf = FunctionSpace(mesh, 2, vector=True)
+    Qp = FunctionSpace(mesh, 1)
+    W = MixedSpace({"s": Vs, "f": Vf, "p": Qp})
+    ns, nf, npp = W.get_dimensions()
+    assert ns == Vs.num_dofs and nf == Vf.num_dofs and npp == Qp.num_dofs
+    assert W.num_dofs == ns + nf + npp
+    assert W.field("f").offset == ns
+    assert W.field("p").slice == slice(ns + nf, ns + nf + npp)
