@@ -1,0 +1,325 @@
+"""Smoothed-aggregation algebraic multigrid (the hypre BoomerAMG replacement).
+
+The reference's h-robustness comes from hypre BoomerAMG inner
+preconditioners (petsc-options-inexact:16-69; SURVEY.md ranks replacing it
+as hard part #1).  TPU-native design:
+
+- **Setup on host** (scipy/numpy, once per operator): strength graph,
+  greedy aggregation over *nodes* (dof blocks), tentative prolongator from
+  a near-nullspace basis (rigid-body modes for elasticity), Jacobi
+  prolongator smoothing, Galerkin coarse operators, dense LU at the
+  coarsest level.
+- **V-cycle on device** (pure JAX, static level count): Chebyshev/Jacobi
+  smoothing + ELL SpMV transfers; everything jit-compatible with static
+  shapes, usable inside the outer FGMRES while_loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+import scipy.sparse as sp
+
+from ..ops.sparse import ELL
+
+
+# ---------------------------------------------------------------------------
+# setup (host)
+# ---------------------------------------------------------------------------
+
+
+def _node_graph(A: sp.csr_matrix, d: int) -> sp.csr_matrix:
+    """Collapse a dof matrix with d dofs/node into a node connectivity graph."""
+    n = A.shape[0]
+    if d == 1:
+        return abs(A).tocsr()
+    nn = n // d
+    rows = np.repeat(np.arange(nn), d)
+    Q = sp.csr_matrix(
+        (np.ones(n), (np.arange(n), rows)), shape=(n, nn)
+    )
+    return (Q.T @ abs(A) @ Q).tocsr()
+
+
+def _strength(C: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Symmetric strength-of-connection: |c_ij| >= theta sqrt(c_ii c_jj)."""
+    C = C.tocsr()
+    diag = np.asarray(C.diagonal())
+    diag[diag <= 0] = 1.0
+    rows = np.repeat(np.arange(C.shape[0]), np.diff(C.indptr))
+    thresh = theta * np.sqrt(diag[rows] * diag[C.indices])
+    keep = (np.abs(C.data) >= thresh) & (rows != C.indices)
+    S = sp.csr_matrix(
+        (np.ones(keep.sum()), (rows[keep], C.indices[keep])), shape=C.shape
+    )
+    return S
+
+
+def _aggregate(S: sp.csr_matrix) -> np.ndarray:
+    """Greedy standard aggregation. Returns agg id per node (-1 none)."""
+    n = S.shape[0]
+    agg = np.full(n, -1, dtype=np.int64)
+    indptr, indices = S.indptr, S.indices
+    na = 0
+    # pass 1: roots with fully free neighborhoods
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        if np.all(agg[nbrs] == -1):
+            agg[i] = na
+            agg[nbrs] = na
+            na += 1
+    # pass 2: attach stragglers to a neighboring aggregate
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        anbrs = agg[nbrs]
+        anbrs = anbrs[anbrs != -1]
+        if anbrs.size:
+            agg[i] = anbrs[0]
+    # pass 3: isolated nodes become their own aggregate
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = na
+            na += 1
+    return agg
+
+
+def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
+    """Build T (n_dofs x n_agg*k) with per-aggregate orthonormal columns.
+
+    B: (n_dofs, k) near-nullspace. Returns (T csr, B_coarse (n_agg*k, k)).
+    """
+    nn = agg.size
+    n = nn * d
+    k = B.shape[1]
+    na = int(agg.max()) + 1
+    # dof -> aggregate
+    dof_agg = np.repeat(agg, d)
+    order = np.argsort(dof_agg, kind="stable")
+    sizes = np.bincount(dof_agg, minlength=na)
+    maxs = int(sizes.max())
+    # padded per-aggregate local blocks
+    Bpad = np.zeros((na, maxs, k))
+    pos = np.arange(n) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+    Bpad[dof_agg[order], pos, :] = B[order, :]
+    Q, R = np.linalg.qr(Bpad)  # (na, maxs, k), (na, k, k)
+    # fix signs for deterministic output (diag(R) >= 0)
+    sgn = np.sign(np.einsum("aii->ai", R))
+    sgn[sgn == 0] = 1.0
+    Q = Q * sgn[:, None, :]
+    R = R * sgn[:, :, None]
+    # scatter Q into sparse T
+    rows = order
+    data = Q[dof_agg[order], pos, :]  # (n, k)
+    cols = dof_agg[order][:, None] * k + np.arange(k)[None, :]
+    T = sp.csr_matrix(
+        (data.ravel(), (np.repeat(rows, k), cols.ravel())), shape=(n, na * k)
+    )
+    Bc = R.reshape(na * k, k, order="C")
+    # R stacked: coarse dof (a, j) rows: Bc[a*k + i, j] = R[a, i, j]
+    Bc = R.transpose(0, 1, 2).reshape(na * k, k)
+    return T, Bc
+
+
+def _power_lmax(A: sp.csr_matrix, dinv: np.ndarray, iters=15, seed=0) -> float:
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=A.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * (A @ v)
+        lam = np.linalg.norm(w)
+        if lam == 0:
+            return 1.0
+        v = w / lam
+    return float(lam)
+
+
+@dataclass
+class AMGLevelHost:
+    A: sp.csr_matrix
+    P: sp.csr_matrix
+    R: sp.csr_matrix
+    dinv: np.ndarray
+    lmax: float
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class AMGLevel:
+    A: ELL
+    P: ELL
+    R: ELL
+    dinv: jax.Array
+    lmax: float  # static
+
+    def tree_flatten(self):
+        return (self.A, self.P, self.R, self.dinv), (self.lmax,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class AMG:
+    """Device-side V-cycle. Callable as a preconditioner: x = AMG(b)."""
+
+    def __init__(self, levels, coarse_lu, coarse_piv, presmooth=1, postsmooth=1):
+        self.levels = tuple(levels)
+        self.coarse_lu = coarse_lu
+        self.coarse_piv = coarse_piv
+        self.presmooth = presmooth
+        self.postsmooth = postsmooth
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_lu, self.coarse_piv), (
+            self.presmooth,
+            self.postsmooth,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], aux[1])
+
+    # -- smoothing: Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A ------------
+
+    def _smooth(self, lvl: AMGLevel, b, x, iters):
+        lmin = lvl.lmax / 4.0
+        lmax = 1.1 * lvl.lmax
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma1 = theta / delta
+        r = b - lvl.A.matvec(x)
+        d = (lvl.dinv * r) / theta
+        rho = 1.0 / sigma1
+        for _ in range(iters):
+            x = x + d
+            r = r - lvl.A.matvec(d)
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * (lvl.dinv * r)
+            rho = rho_new
+        return x + d
+
+    def _cycle(self, li, b):
+        if li == len(self.levels):
+            y = jax.scipy.linalg.lu_solve(
+                (self.coarse_lu, self.coarse_piv), b
+            )
+            return y
+        lvl = self.levels[li]
+        x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth)
+        r = b - lvl.A.matvec(x)
+        bc = lvl.R.matvec(r)
+        xc = self._cycle(li + 1, bc)
+        x = x + lvl.P.matvec(xc)
+        x = self._smooth(lvl, b, x, self.postsmooth)
+        return x
+
+    def __call__(self, b):
+        return self._cycle(0, b)
+
+
+def amg_setup(
+    A: sp.csr_matrix,
+    dofs_per_node: int = 1,
+    B: np.ndarray | None = None,
+    theta: float = 0.08,
+    max_levels: int = 10,
+    coarse_size: int = 600,
+    presmooth: int = 1,
+    postsmooth: int = 1,
+    dtype=jnp.float32,
+) -> AMG:
+    """Build a smoothed-aggregation AMG hierarchy for SPD-ish A.
+
+    ``B``: near-nullspace (n, k); defaults to constants per component.
+    ``dofs_per_node``: node-block size (geometric dim for vector fields).
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    d = dofs_per_node
+    if B is None:
+        k0 = d
+        B = np.zeros((n, k0))
+        for c in range(d):
+            B[c::d, c] = 1.0
+
+    levels = []
+    while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
+        C = _node_graph(A, d)
+        S = _strength(C, theta)
+        agg = _aggregate(S)
+        na = int(agg.max()) + 1
+        if na * B.shape[1] >= A.shape[0]:
+            break  # aggregation stalled
+        T, Bc = _tentative_prolongator(agg, d, B)
+        diag = np.asarray(A.diagonal())
+        diag[diag == 0] = 1.0
+        dinv = 1.0 / diag
+        lmax = _power_lmax(A, dinv)
+        # P = (I - 4/(3 lmax) D^-1 A) T
+        Dinv = sp.diags(dinv)
+        P = (T - (4.0 / (3.0 * lmax)) * (Dinv @ (A @ T))).tocsr()
+        R = P.T.tocsr()
+        Ac = (R @ (A @ P)).tocsr()
+        levels.append(
+            AMGLevel(
+                ELL.from_csr(A, dtype),
+                ELL.from_csr(P, dtype),
+                ELL.from_csr(R, dtype),
+                jnp.asarray(dinv, dtype=dtype),
+                lmax,
+            )
+        )
+        A = Ac
+        B = Bc
+        d = B.shape[1]
+
+    # coarsest: dense LU
+    Ad = np.asarray(A.todense(), dtype=np.float64)
+    lu, piv = sla.lu_factor(Ad)
+    return AMG(
+        levels,
+        jnp.asarray(lu, dtype=dtype),
+        jnp.asarray(piv, dtype=jnp.int32),
+        presmooth,
+        postsmooth,
+    )
+
+
+def rigid_body_modes(coords: np.ndarray) -> np.ndarray:
+    """Near-nullspace for elasticity: translations + rotations.
+
+    coords: (n_nodes, dim) node coordinates.  Returns (n_nodes*dim, k) with
+    k=3 (2D) or 6 (3D).  (The reference sketches the same basis for GAMG in
+    solid.py:132-168, commented out.)
+    """
+    nn, dim = coords.shape
+    if dim == 2:
+        k = 3
+        B = np.zeros((nn * 2, k))
+        B[0::2, 0] = 1.0
+        B[1::2, 1] = 1.0
+        B[0::2, 2] = -coords[:, 1]
+        B[1::2, 2] = coords[:, 0]
+    else:
+        k = 6
+        B = np.zeros((nn * 3, k))
+        for c in range(3):
+            B[c::3, c] = 1.0
+        # rotations: (0,-z,y), (z,0,-x), (-y,x,0)
+        B[1::3, 3] = -coords[:, 2]
+        B[2::3, 3] = coords[:, 1]
+        B[0::3, 4] = coords[:, 2]
+        B[2::3, 4] = -coords[:, 0]
+        B[0::3, 5] = -coords[:, 1]
+        B[1::3, 5] = coords[:, 0]
+    return B

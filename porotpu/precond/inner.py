@@ -1,0 +1,195 @@
+"""Inner (per-field) approximate solvers for the block preconditioner.
+
+Replaces the reference's per-field inner KSPs with prefixes s_/f_/p_/diff_
+(lib/Preconditioner.py:77-100) and their two operating points:
+- "exact": MUMPS sparse LU (petsc-options-exact:11-35) -> here a dense LU
+  factorization on device (no sparse LU exists on TPU; documented
+  substitution per SURVEY.md §2.3), valid for the small/medium test blocks,
+  or a tight fixed-iteration CG for large ones.
+- "inexact": hypre BoomerAMG-preconditioned CG with loose rtol
+  (petsc-options-inexact:12-24) -> here smoothed-aggregation AMG V-cycles,
+  optionally as fixed-iteration CG preconditioner (jit-friendly: iteration
+  counts are static, matching the reference's max_it-capped philosophy).
+
+Every InnerSolver is a pure callable b -> x usable inside jitted Krylov
+loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+import scipy.sparse as sp
+
+from ..ops.sparse import ELL
+from ..solvers.cg import cg_fixed
+from ..solvers.chebyshev import chebyshev
+from .amg import AMG, amg_setup
+
+
+@dataclass
+class InnerConfig:
+    """Configuration of one inner solve (one prefix in the reference)."""
+
+    method: str = "cg+amg"  # jacobi | chebyshev | cg | cg+amg | amg | lu
+    iters: int = 5  # fixed iteration count for cg/chebyshev
+    sweeps: int = 1  # AMG V-cycles per application
+    # AMG setup knobs
+    amg_theta: float = 0.08
+    amg_coarse_size: int = 600
+    amg_presmooth: int = 1
+    amg_postsmooth: int = 1
+    # dense-LU size cap: above this, "lu" falls back to tight CG
+    lu_max_size: int = 20000
+    lu_fallback_iters: int = 200
+    # chebyshev interval fraction: [lmax/cheb_frac, 1.1 lmax]
+    cheb_frac: float = 30.0
+
+    @classmethod
+    def from_reference_options(cls, ksp_type: str, pc_type: str, maxiter: int = 10):
+        """Map reference (inner ksp type, inner pc type) pairs onto methods.
+
+        hypre->amg, lu/mumps->lu, none->jacobi
+        (reference lib/Preconditioner.py:94-100 + options files).
+        """
+        pc = (pc_type or "").lower()
+        ksp = (ksp_type or "").lower()
+        if pc in ("lu", "mumps", "cholesky"):
+            return cls(method="lu")
+        if pc in ("hypre", "gamg", "amg", "boomeramg"):
+            if ksp in ("preonly", ""):
+                return cls(method="amg")
+            return cls(method="cg+amg", iters=min(maxiter, 10))
+        if pc in ("jacobi", "bjacobi", "none"):
+            if ksp in ("preonly", ""):
+                return cls(method="jacobi")
+            return cls(method="cg", iters=min(maxiter, 20))
+        # default: chebyshev stand-in
+        return cls(method="chebyshev", iters=min(maxiter, 10))
+
+
+@jax.tree_util.register_pytree_node_class
+class InnerSolver:
+    """A jit-friendly approximate solve for one (SPD-ish) block."""
+
+    def __init__(self, kind, payload, iters=0, lmax=1.0, cheb_frac=30.0):
+        self.kind = kind  # static
+        self.payload = payload  # pytree of device arrays
+        self.iters = iters
+        self.lmax = lmax
+        self.cheb_frac = cheb_frac
+
+    def tree_flatten(self):
+        return (self.payload,), (self.kind, self.iters, self.lmax, self.cheb_frac)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1], aux[2], aux[3])
+
+    def __call__(self, b):
+        k = self.kind
+        if k == "identity":
+            return b
+        if k == "jacobi":
+            return self.payload["dinv"] * b
+        if k == "lu":
+            return jax.scipy.linalg.lu_solve(
+                (self.payload["lu"], self.payload["piv"]), b
+            )
+        if k == "chebyshev":
+            A = self.payload["A"]
+            dinv = self.payload["dinv"]
+            return chebyshev(
+                A.matvec,
+                b,
+                self.lmax / self.cheb_frac,
+                1.1 * self.lmax,
+                iters=self.iters,
+                M=lambda r: dinv * r,
+            )
+        if k == "cg":
+            A = self.payload["A"]
+            dinv = self.payload["dinv"]
+            return cg_fixed(A.matvec, b, M=lambda r: dinv * r, iters=self.iters)
+        if k == "amg":
+            amg = self.payload["amg"]
+            x = amg(b)
+            for _ in range(self.iters - 1):
+                x = x + amg(b - self.payload["A"].matvec(x))
+            return x
+        if k == "cg+amg":
+            A = self.payload["A"]
+            amg = self.payload["amg"]
+            return cg_fixed(A.matvec, b, M=amg, iters=self.iters)
+        raise ValueError(f"unknown inner solver kind {self.kind}")
+
+
+def build_inner_solver(
+    A: sp.csr_matrix,
+    cfg: InnerConfig,
+    dofs_per_node: int = 1,
+    near_nullspace: np.ndarray | None = None,
+    dtype=jnp.float32,
+) -> InnerSolver:
+    """Factory: host setup (factorization / AMG hierarchy / spectrum)."""
+    n = A.shape[0]
+    method = cfg.method
+    if method == "lu" and n > cfg.lu_max_size:
+        # no sparse LU on TPU: tight-tolerance CG emulation (SURVEY §2.3)
+        method = "cg+amg"
+        cfg = InnerConfig(method="cg+amg", iters=cfg.lu_fallback_iters)
+
+    if method == "identity":
+        return InnerSolver("identity", {})
+
+    diag = np.asarray(A.diagonal()).ravel()
+    diag[diag == 0] = 1.0
+    dinv = jnp.asarray(1.0 / diag, dtype=dtype)
+
+    if method == "jacobi":
+        return InnerSolver("jacobi", {"dinv": dinv})
+
+    if method == "lu":
+        lu, piv = sla.lu_factor(np.asarray(A.todense(), dtype=np.float64))
+        return InnerSolver(
+            "lu",
+            {"lu": jnp.asarray(lu, dtype=dtype), "piv": jnp.asarray(piv, jnp.int32)},
+        )
+
+    E = ELL.from_csr(A, dtype)
+
+    if method == "chebyshev":
+        from .amg import _power_lmax
+
+        lmax = _power_lmax(A, np.asarray(1.0 / diag))
+        return InnerSolver(
+            "chebyshev",
+            {"A": E, "dinv": dinv},
+            iters=cfg.iters,
+            lmax=lmax,
+            cheb_frac=cfg.cheb_frac,
+        )
+
+    if method == "cg":
+        return InnerSolver("cg", {"A": E, "dinv": dinv}, iters=cfg.iters)
+
+    if method in ("amg", "cg+amg"):
+        amg = amg_setup(
+            A,
+            dofs_per_node=dofs_per_node,
+            B=near_nullspace,
+            theta=cfg.amg_theta,
+            coarse_size=cfg.amg_coarse_size,
+            presmooth=cfg.amg_presmooth,
+            postsmooth=cfg.amg_postsmooth,
+            dtype=dtype,
+        )
+        if method == "amg":
+            return InnerSolver("amg", {"amg": amg, "A": E}, iters=max(cfg.sweeps, 1))
+        return InnerSolver("cg+amg", {"amg": amg, "A": E}, iters=cfg.iters)
+
+    raise ValueError(f"unknown inner method {cfg.method}")
