@@ -1,0 +1,344 @@
+"""Assembly of the linearized poromechanics operator, preconditioners, RHS.
+
+Re-derives lib/Assembler.py of the reference for the TPU build: the
+variational forms (lib/Assembler.py:80-97) are expanded by hand into the
+block matrices of the field-major system [solid | fluid | pressure] using
+the generic kernels of porotpu.fem.assemble.  With constant coefficients
+each block is a scaled combination of a few primitive matrices (vector
+mass, Hooke stiffness, eps:eps, div-div, divergence coupling, scalar
+mass/stiffness), assembled once.
+
+System blocks (a_s + a_f + a_p, lib/Assembler.py:80-93), with
+phis = 1 - phi0, idt = 1/dt, ikf = 1/kf:
+
+  A_ss = rhos idt^2 phis Mv + Hooke(mu_s, lmbda) + phi0^2 ikf idt Mv
+  A_sf = -phi0^2 ikf Msf                 (Darcy drag coupling)
+  A_sp = -phis D_s^T                     (-p div(phis v))
+  A_fs = -phi0^2 ikf idt Mfs
+  A_ff = rhof idt phi0 Mv + 2 mu_f phi0 eps:eps + phi0^2 ikf Mv
+  A_fp = -phi0 D_f^T
+  A_ps = phis idt D_s
+  A_pf = phi0 D_f
+  A_pp = phis^2 idt / ks Mp
+
+The five preconditioner variants (lib/Assembler.py:100-219, SURVEY.md
+§2.4) modify these blocks; see build_preconditioner_blocks.
+
+RHS (lib/Assembler.py:235-270): the reference *constructs* the full
+residual forms r_s/r_f/r_p but line 267 assembles only the load terms —
+the history-field terms are dead code in the reference.  Here both modes
+exist: rhs_mode="full-residual" (default; the evident intent, history
+terms enter through precomputed mass/coupling SpMVs) and
+rhs_mode="loads-only" (bug-compatible with the reference's actual
+behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..fem import assemble
+from ..fem.dofmap import FunctionSpace, MixedSpace
+from ..utils.printing import parprint
+
+FIELDS = ("s", "f", "p")
+
+PC_TYPES = (
+    "lu",
+    "undrained",
+    "diagonal",
+    "diagonal 3-way",
+    "diagonal 3-way-II",
+    "undrained 3-way",
+)
+
+
+@dataclass
+class Primitives:
+    """The primitive matrices every block is built from."""
+
+    Mv_s: sp.csr_matrix  # solid vector mass
+    Mv_f: sp.csr_matrix  # fluid vector mass
+    Msf: sp.csr_matrix  # vector mass coupling (solid rows, fluid cols)
+    Mfs: sp.csr_matrix
+    Hooke: sp.csr_matrix  # 2 mu_s eps:eps + lmbda div div (solid)
+    EpsF: sp.csr_matrix  # 2 mu_f phi0 eps:eps (fluid)
+    DivDiv_s: sp.csr_matrix  # div div (solid)
+    DivDiv_f: sp.csr_matrix  # div div (fluid)
+    D_s: sp.csr_matrix  # ∫ q div(us)  (np x ns)
+    D_f: sp.csr_matrix  # ∫ q div(vf)  (np x nf)
+    Mp: sp.csr_matrix  # scalar mass
+    Kp: sp.csr_matrix  # scalar stiffness
+
+
+def assemble_primitives(W: MixedSpace) -> Primitives:
+    Vs, Vf, Qp = W.space("s"), W.space("f"), W.space("p")
+    return Primitives(
+        Mv_s=assemble.mass(Vs),
+        Mv_f=assemble.mass(Vf),
+        Msf=assemble.mass_coupling(Vs, Vf),
+        Mfs=assemble.mass_coupling(Vf, Vs),
+        Hooke=None,  # filled by caller with physical moduli
+        EpsF=None,
+        DivDiv_s=assemble.divdiv(Vs),
+        DivDiv_f=assemble.divdiv(Vf),
+        D_s=assemble.div_coupling(Qp, Vs),
+        D_f=assemble.div_coupling(Qp, Vf),
+        Mp=assemble.mass(Qp),
+        Kp=assemble.stiffness(Qp),
+    )
+
+
+class PoromechanicsAssembler:
+    """Operator factory for the 3-field system (reference lib/Assembler.py).
+
+    Parameters dict uses the reference's keys: mu_s, lmbda, rhos, rhof,
+    mu_f, phi0, ks, kf, dt, betas, betaf, betap, pc type, plus the load
+    slots dsNs, dsNf, ff_vol, fs_vol, ff_sur, fs_sur, p_source
+    (footing.py:46-89).
+    """
+
+    def __init__(self, parameters: dict, W: MixedSpace, three_way: bool):
+        self.parameters = parameters
+        self.W = W
+        self.three_way = three_way
+        self.prec_type = parameters["pc type"]
+        self.dim = W.space("s").mesh.dim
+
+        p = parameters
+        self.mu_s = float(p["mu_s"])
+        self.lmbda = float(p["lmbda"])
+        self.rhos = float(p["rhos"])
+        self.rhof = float(p["rhof"])
+        self.mu_f = float(p["mu_f"])
+        self.phi0 = float(p["phi0"])
+        self.ks = float(p["ks"])
+        self.kf = float(p["kf"])
+        self.dt = float(p["dt"])
+        self.betas = float(p.get("betas", -0.5))
+        self.betaf = float(p.get("betaf", 0.0))
+        self.betap = float(p.get("betap", 1.0))
+
+        self.phis = 1.0 - self.phi0
+        self.idt = 1.0 / self.dt
+        self.ikf = 1.0 / self.kf
+
+        # loads
+        self.dsNs = p["dsNs"]
+        self.dsNf = p["dsNf"]
+        self.ff_vol = p.get("ff_vol")
+        self.fs_vol = p.get("fs_vol")
+        self.ff_sur = p.get("ff_sur")
+        self.fs_sur = p.get("fs_sur")
+        self.p_source = p.get("p_source")
+
+        self.rhs_mode = p.get("rhs mode", "full-residual")
+
+        self.A_blocks = None
+        self.P_blocks = None
+        self.P_diff_pp = None
+
+    # -- system matrix ------------------------------------------------------
+
+    def assemble(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        W = self.W
+        pr = assemble_primitives(W)
+        pr.Hooke = assemble.hooke(W.space("s"), self.mu_s, self.lmbda)
+        pr.EpsF = assemble.eps_eps(W.space("f"), 2.0 * self.mu_f * self.phi0)
+        self.pr = pr
+
+        phis, phi0 = self.phis, self.phi0
+        idt, ikf, ks = self.idt, self.ikf, self.ks
+        rhos, rhof = self.rhos, self.rhof
+
+        A = {}
+        A["s", "s"] = (
+            rhos * idt**2 * phis * pr.Mv_s + pr.Hooke + phi0**2 * ikf * idt * pr.Mv_s
+        ).tocsr()
+        A["s", "f"] = (-(phi0**2) * ikf * pr.Msf).tocsr()
+        A["s", "p"] = (-phis * pr.D_s.T).tocsr()
+        A["f", "s"] = (-(phi0**2) * ikf * idt * pr.Mfs).tocsr()
+        A["f", "f"] = (
+            rhof * idt * phi0 * pr.Mv_f + pr.EpsF + phi0**2 * ikf * pr.Mv_f
+        ).tocsr()
+        A["f", "p"] = (-phi0 * pr.D_f.T).tocsr()
+        A["p", "s"] = (phis * idt * pr.D_s).tocsr()
+        A["p", "f"] = (phi0 * pr.D_f).tocsr()
+        A["p", "p"] = (phis**2 * idt / ks * pr.Mp).tocsr()
+        self.A_blocks = A
+
+        self.P_blocks, self.P_diff_pp = self.build_preconditioner_blocks(A)
+        parprint(
+            "---- [Assembler] Assembly A, P time = {}s".format(
+                _time.perf_counter() - t0
+            )
+        )
+
+    def build_preconditioner_blocks(self, A):
+        """The five physics-based preconditioner variants (SURVEY.md §2.4)."""
+        pr = self.pr
+        phis, phi0 = self.phis, self.phi0
+        idt, ikf, ks = self.idt, self.ikf, self.ks
+        rhos, rhof = self.rhos, self.rhof
+        d = self.dim
+        pc = self.prec_type
+
+        beta_p = self.betap * phis**2 / (self.dt * (2.0 * self.mu_s / d + self.lmbda))
+        beta_CC1 = phi0 / (2.0 * self.mu_f / d)
+        beta_CC2 = 1.0 / (rhof * idt / phi0 + ikf)
+        N = ks / phis**2
+
+        P = {k: v for k, v in A.items()}  # start from A ("lu" keeps it)
+        P_diff_pp = None
+
+        if pc == "undrained":
+            # a_s: + N div(phis us) div(phis v); drops vf and p couplings
+            # (lib/Assembler.py:100-117)
+            P["s", "s"] = (A["s", "s"] + N * phis**2 * pr.DivDiv_s).tocsr()
+            P.pop(("s", "f"))
+            P.pop(("s", "p"))
+        elif pc == "undrained 3-way":
+            # (lib/Assembler.py:118-138)
+            P["s", "s"] = (A["s", "s"] + N * phis**2 * pr.DivDiv_s).tocsr()
+            P.pop(("s", "f"))
+            P.pop(("s", "p"))
+            P["p", "p"] = (phis**2 * idt / ks * pr.Mp + beta_CC1 * pr.Mp).tocsr()
+            P.pop(("p", "s"))
+            P.pop(("p", "f"))
+            P_diff_pp = (phis**2 * idt / ks * pr.Mp + beta_CC2 * pr.Kp).tocsr()
+        elif pc == "diagonal":
+            # (lib/Assembler.py:139-161)
+            P["s", "s"] = (
+                rhos * idt**2 * phis * pr.Mv_s
+                + pr.Hooke
+                + (1.0 + self.betas) * phi0**2 * ikf * idt * pr.Mv_s
+            ).tocsr()
+            P["f", "f"] = (
+                rhof * idt * phi0 * pr.Mv_f
+                + pr.EpsF
+                + (1.0 + self.betaf) * phi0**2 * ikf * pr.Mv_f
+            ).tocsr()
+            P.pop(("f", "s"))  # drag us coupling dropped in a_f
+            P["p", "p"] = (A["p", "p"] + beta_p * pr.Mp).tocsr()
+            P.pop(("p", "s"))  # solid divergence dropped in a_p
+        elif pc == "diagonal 3-way":
+            # (lib/Assembler.py:162-189)
+            P["s", "s"] = (
+                rhos * idt**2 * phis * pr.Mv_s
+                + pr.Hooke
+                + (1.0 + self.betas) * phi0**2 * ikf * idt * pr.Mv_s
+            ).tocsr()
+            P["f", "f"] = (
+                rhof * idt * phi0 * pr.Mv_f
+                + pr.EpsF
+                + (1.0 + self.betaf) * phi0**2 * ikf * pr.Mv_f
+            ).tocsr()
+            P.pop(("f", "s"))
+            P["p", "p"] = (
+                phis**2 * idt / ks * pr.Mp + (beta_p + beta_CC1) * pr.Mp
+            ).tocsr()
+            P.pop(("p", "s"))
+            P.pop(("p", "f"))
+            P_diff_pp = (
+                phis**2 * idt / ks * pr.Mp + beta_p * pr.Mp + beta_CC2 * pr.Kp
+            ).tocsr()
+        elif pc == "diagonal 3-way-II":
+            # (lib/Assembler.py:190-211): grad-div augmented fluid block,
+            # no p coupling in a_f; assembled 2-way
+            P["s", "s"] = (
+                rhos * idt**2 * phis * pr.Mv_s
+                + pr.Hooke
+                + (1.0 + self.betas) * phi0**2 * ikf * idt * pr.Mv_s
+            ).tocsr()
+            gd = 1.0 / (phis**2 * idt / ks + beta_p)
+            P["f", "f"] = (
+                rhof * idt * phi0 * pr.Mv_f
+                + pr.EpsF
+                + gd * phi0**2 * pr.DivDiv_f
+                + (1.0 + self.betaf) * phi0**2 * ikf * pr.Mv_f
+            ).tocsr()
+            P.pop(("f", "s"))
+            P.pop(("f", "p"))
+            P["p", "p"] = (A["p", "p"] + beta_p * pr.Mp).tocsr()
+            P.pop(("p", "s"))
+        elif pc == "lu":
+            pass  # P = A
+        else:
+            raise ValueError(f"unknown pc type {pc}")
+
+        return P, P_diff_pp
+
+    # -- accessors (reference API parity) -----------------------------------
+
+    def getMatrix(self):
+        return self.A_blocks
+
+    def getPreconditioners(self):
+        return self.P_blocks, self.P_diff_pp
+
+    # -- RHS ----------------------------------------------------------------
+
+    def get_load_vector(self, t: float) -> np.ndarray:
+        """Assemble the load part of the RHS at time t (host, boundary-only).
+
+        reference lib/Assembler.py:243,250-251,259 (surface + volume loads).
+        """
+        W = self.W
+        Vs, Vf, Qp = W.space("s"), W.space("f"), W.space("p")
+        b = np.zeros(W.num_dofs)
+        ss, fs, ps = (W.field(k).slice for k in FIELDS)
+
+        if self.fs_sur is not None:
+            b[ss] += assemble.facet_load(Vs, self.dsNs, self.fs_sur, t)
+        if self.ff_sur is not None:
+            b[fs] += assemble.facet_load(Vf, self.dsNf, self.ff_sur, t)
+        # constant volume loads (zero in all reference drivers)
+        if self.fs_vol is not None:
+            v = np.asarray(self.fs_vol.eval(t, np.zeros((1, self.dim))), dtype=float)
+            if np.any(v != 0):
+                b[ss] += self.phis * self.rhos * assemble.cell_load(
+                    Vs, f_const=v.ravel()[: self.dim]
+                )
+        if self.ff_vol is not None:
+            v = np.asarray(self.ff_vol.eval(t, np.zeros((1, self.dim))), dtype=float)
+            if np.any(v != 0):
+                b[fs] += self.phi0 * self.rhof * assemble.cell_load(
+                    Vf, f_const=v.ravel()[: self.dim]
+                )
+        if self.p_source is not None:
+            v = np.asarray(self.p_source.eval(t, np.zeros((1, self.dim))), dtype=float)
+            if np.any(v != 0):
+                b[ps] += (1.0 / self.rhof) * assemble.cell_load(
+                    Qp, f_const=float(v.ravel()[0])
+                )
+        return b
+
+    def history_matrices(self):
+        """Matrices applied to history fields in the full-residual RHS.
+
+        r_s += rhos idt^2 phis Mv (2 us1 - us2) + phi0^2 ikf idt Mv us1
+        r_f += rhof idt phi0 Mv uf1 - phi0^2 ikf idt Mfs us1
+        r_p += phis idt D_s us1 + phis^2/(ks dt) Mp p1
+        (derived from lib/Assembler.py:245-264 with r = rhs - lhs)
+        Returns dict of csr matrices keyed by (field, history-field).
+        """
+        pr = self.pr
+        phis, phi0 = self.phis, self.phi0
+        idt, ikf, ks = self.idt, self.ikf, self.ks
+        return {
+            ("s", "us1"): (
+                2.0 * self.rhos * idt**2 * phis * pr.Mv_s
+                + phi0**2 * ikf * idt * pr.Mv_s
+            ).tocsr(),
+            ("s", "us2"): (-self.rhos * idt**2 * phis * pr.Mv_s).tocsr(),
+            ("f", "uf1"): (self.rhof * idt * phi0 * pr.Mv_f).tocsr(),
+            ("f", "us1"): (-(phi0**2) * ikf * idt * pr.Mfs).tocsr(),
+            ("p", "us1"): (phis * idt * pr.D_s).tocsr(),
+            ("p", "p1"): (phis**2 * idt / ks * pr.Mp).tocsr(),
+        }

@@ -1,0 +1,121 @@
+"""Solution export and checkpoint/resume.
+
+The reference exports XDMF time series of the three fields
+(lib/AbstractPhysics.py:34-38,47-57) and has no checkpointing (SURVEY.md
+§5).  Here:
+- TimeSeriesWriter: VTU (XML unstructured grid) per step + a PVD index —
+  dependency-free, ParaView-readable; equivalent capability to the XDMF
+  export.
+- save_checkpoint / load_checkpoint: npz dump of the time-stepping state
+  (us_nm1, us_nm2, uf_nm1, p_nm1, t) enabling resume — the addition
+  SURVEY.md §5 calls for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+_VTK_CELL = {2: 5, 3: 10}  # triangle, tetra
+
+
+class TimeSeriesWriter:
+    def __init__(self, basename: str, mesh):
+        self.basename = basename
+        self.mesh = mesh
+        self.steps = []
+        os.makedirs(os.path.dirname(basename) or ".", exist_ok=True)
+
+    def write(self, t: float, fields: dict):
+        """fields: {name: dof vector}; vector fields have node-interleaved
+        dofs; only vertex values are exported (P2 edge dofs dropped)."""
+        mesh = self.mesh
+        nv = mesh.num_vertices
+        dim = mesh.dim
+        fname = f"{self.basename}_{len(self.steps):06d}.vtu"
+        cells = mesh.cells
+        npc = cells.shape[1]
+
+        with open(fname, "w") as f:
+            f.write('<?xml version="1.0"?>\n')
+            f.write(
+                '<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n'
+            )
+            f.write(
+                f'<Piece NumberOfPoints="{nv}" NumberOfCells="{len(cells)}">\n'
+            )
+            f.write('<Points>\n<DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')
+            pts = np.zeros((nv, 3))
+            pts[:, :dim] = mesh.vertices
+            np.savetxt(f, pts, fmt="%.10g")
+            f.write("</DataArray>\n</Points>\n<Cells>\n")
+            f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
+            np.savetxt(f, cells, fmt="%d")
+            f.write('</DataArray>\n<DataArray type="Int32" Name="offsets" format="ascii">\n')
+            np.savetxt(f, np.arange(1, len(cells) + 1) * npc, fmt="%d")
+            f.write('</DataArray>\n<DataArray type="UInt8" Name="types" format="ascii">\n')
+            np.savetxt(f, np.full(len(cells), _VTK_CELL[dim]), fmt="%d")
+            f.write("</DataArray>\n</Cells>\n<PointData>\n")
+            for name, vec in fields.items():
+                vec = np.asarray(vec)
+                if vec.size % nv == 0 and vec.size // nv in (1, dim) and vec.size == nv:
+                    comp, data = 1, vec[:, None]
+                else:
+                    # node-interleaved vector or P2 field: keep vertex nodes
+                    nnode = vec.size // dim if vec.size % dim == 0 else vec.size
+                    if vec.size % dim == 0 and vec.size // dim >= nv:
+                        data = vec.reshape(-1, dim)[:nv]
+                        comp = 3
+                        pad = np.zeros((nv, 3))
+                        pad[:, :dim] = data
+                        data = pad
+                    else:
+                        data = vec[:nv, None]
+                        comp = 1
+                safe = name.replace(" ", "_")
+                f.write(
+                    f'<DataArray type="Float64" Name="{safe}" '
+                    f'NumberOfComponents="{comp}" format="ascii">\n'
+                )
+                np.savetxt(f, data, fmt="%.10g")
+                f.write("</DataArray>\n")
+            f.write("</PointData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+        self.steps.append((t, os.path.basename(fname)))
+        self._write_pvd()
+
+    def _write_pvd(self):
+        with open(f"{self.basename}.pvd", "w") as f:
+            f.write('<?xml version="1.0"?>\n<VTKFile type="Collection" version="0.1">\n<Collection>\n')
+            for t, fn in self.steps:
+                f.write(f'<DataSet timestep="{t}" file="{fn}"/>\n')
+            f.write("</Collection>\n</VTKFile>\n")
+
+
+def save_checkpoint(path: str, problem, t: float):
+    """Dump time-stepping state for resume (SURVEY.md §5 checkpoint gap)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        t=t,
+        us_nm1=np.asarray(problem.us_nm1),
+        us_nm2=np.asarray(problem.us_nm2),
+        uf_nm1=np.asarray(problem.uf_nm1),
+        p_nm1=np.asarray(problem.p_nm1),
+    )
+
+
+def load_checkpoint(path: str, problem):
+    """Restore time-stepping state; returns the checkpoint time."""
+    import jax.numpy as jnp
+
+    d = np.load(path)
+    problem.us_nm1 = jnp.asarray(d["us_nm1"], dtype=problem.dtype)
+    problem.us_nm2 = jnp.asarray(d["us_nm2"], dtype=problem.dtype)
+    problem.uf_nm1 = jnp.asarray(d["uf_nm1"], dtype=problem.dtype)
+    problem.p_nm1 = jnp.asarray(d["p_nm1"], dtype=problem.dtype)
+    problem.t = float(d["t"])
+    return problem.t
