@@ -282,11 +282,13 @@ class Poromechanics(AbstractPhysics):
         maxiter = int(p.get("solver maxiter", 500))
         use_fieldwise = bool(p.get("fieldwise convergence", True))
 
-        A_dev = self.A_dev
-        pc = self.pc
         sizes = (ns, nf, npp)
 
-        def _solve(b_dev, x0):
+        # NOTE: the operator pytrees (A_dev, pc) are jit *arguments*, not
+        # closure constants — closing over device matrices bakes them into
+        # the executable and triggers XLA constant folding over the whole
+        # sparse data (slow compiles, duplicated HBM).
+        def _solve(A_dev, pc, b_dev, x0):
             fw = (
                 FieldwiseTest.from_sizes(sizes, b_dev) if use_fieldwise else None
             )
@@ -334,9 +336,8 @@ class Poromechanics(AbstractPhysics):
 
         # jitted RHS history application
         if self.H_dev is not None:
-            H_dev = self.H_dev
 
-            def _rhs_hist(us1, us2, uf1, p1):
+            def _rhs_hist(H_dev, us1, us2, uf1, p1):
                 rs = H_dev["s", "us1"].matvec(us1) + H_dev["s", "us2"].matvec(us2)
                 rf = H_dev["f", "uf1"].matvec(uf1) + H_dev["f", "us1"].matvec(us1)
                 rp = H_dev["p", "us1"].matvec(us1) + H_dev["p", "p1"].matvec(p1)
@@ -354,7 +355,7 @@ class Poromechanics(AbstractPhysics):
         b = jnp.asarray(loads, dtype=self.dtype)
         if self.H_dev is not None:
             b = b + self._jit_rhs_hist(
-                self.us_nm1, self.us_nm2, self.uf_nm1, self.p_nm1
+                self.H_dev, self.us_nm1, self.us_nm2, self.uf_nm1, self.p_nm1
             )
         # Dirichlet rows: b[dof] = bc value (lib/Poromechanics.py:76-83)
         b = b.at[self.bc_dofs].set(self.bc_vals)
@@ -367,7 +368,7 @@ class Poromechanics(AbstractPhysics):
 
         b = self.get_rhs(t)
         t0 = _time.perf_counter()
-        res = self._jit_solve(b, jnp.zeros_like(b))
+        res = self._jit_solve(self.A_dev, self.pc, b, jnp.zeros_like(b))
         res.x.block_until_ready()
         self.t_solve_total += _time.perf_counter() - t0
 
