@@ -7,10 +7,19 @@ loop.  The whole per-step solve (outer FGMRES + block-triangular PC +
 inner AMG/Chebyshev/LU solves) is ONE jitted XLA computation — the
 TPU-native inversion of the reference's per-iteration Python callback
 design (SURVEY.md §7 architecture principle).
+
+Padded-field layout: each field segment is padded to a multiple of
+``pad multiple`` (set it to the device count for sharded execution) with
+identity rows in the operators and zeros in vectors.  With multiple=1 the
+padding is a no-op; with multiple=n_devices every per-field operator has
+row counts divisible by the mesh, so the whole solver state can be
+1-D row-sharded (porotpu.parallel) — the TPU equivalent of the
+reference's ParMETIS mesh partition (SURVEY.md §2.5).
 """
 
 from __future__ import annotations
 
+import math
 import time as _time
 
 import jax
@@ -30,10 +39,6 @@ from ..solvers.convergence import FieldwiseTest
 from ..utils.printing import parprint
 from .abstract import AbstractPhysics
 from .forms import FIELDS, PC_TYPES, PoromechanicsAssembler
-
-
-def _zero_csr(shape):
-    return sp.csr_matrix(shape)
 
 
 class Poromechanics(AbstractPhysics):
@@ -67,16 +72,40 @@ class Poromechanics(AbstractPhysics):
         self.assembler = PoromechanicsAssembler(p, self.W, self.three_way)
         self.assembler.assemble()
 
-        n = self.W.num_dofs
         ns, nf, npp = self.W.get_dimensions()
         self.ns, self.nf, self.npp = ns, nf, npp
 
-        # history fields (device), reference lib/Poromechanics.py:33-35
-        self.us_nm1 = jnp.zeros(ns, dtype=dtype)
-        self.us_nm2 = jnp.zeros(ns, dtype=dtype)
-        self.uf_nm1 = jnp.zeros(nf, dtype=dtype)
-        self.p_nm1 = jnp.zeros(npp, dtype=dtype)
-        self.sol = jnp.zeros(n, dtype=dtype)
+        # --- padded-field layout -------------------------------------
+        m = int(p.get("pad multiple", 1))
+        dim = mesh.dim
+        L = (m * dim) // math.gcd(m, dim)  # pad to lcm so node blocks survive
+
+        def _pad(s, unit):
+            return ((s + unit - 1) // unit) * unit
+
+        self.ns_p = _pad(ns, L)
+        self.nf_p = _pad(nf, L)
+        self.np_p = _pad(npp, m)
+        self.n_pad = self.ns_p + self.nf_p + self.np_p
+        self.padded_sizes = (self.ns_p, self.nf_p, self.np_p)
+        # old global dof -> padded global dof
+        self.pad_index = np.concatenate(
+            [
+                np.arange(ns),
+                np.arange(nf) + self.ns_p,
+                np.arange(npp) + self.ns_p + self.nf_p,
+            ]
+        )
+        mask = np.ones(self.n_pad, dtype=bool)
+        mask[self.pad_index] = False
+        self.pad_slots = np.nonzero(mask)[0]
+
+        # history fields (device, padded), reference lib/Poromechanics.py:33-35
+        self.us_nm1 = jnp.zeros(self.ns_p, dtype=dtype)
+        self.us_nm2 = jnp.zeros(self.ns_p, dtype=dtype)
+        self.uf_nm1 = jnp.zeros(self.nf_p, dtype=dtype)
+        self.p_nm1 = jnp.zeros(self.np_p, dtype=dtype)
+        self.sol = jnp.zeros(self.n_pad, dtype=dtype)
 
         self.first_timestep = True
         self.bcs = []
@@ -97,9 +126,7 @@ class Poromechanics(AbstractPhysics):
         t0 = _time.perf_counter()
         self.bcs = list(bcs)
         self.bcs_diff = list(bcs_diff)
-        subs = [
-            bc.local_dofs for bc in self.bcs_diff if bc.field == "p"
-        ]
+        subs = [bc.local_dofs for bc in self.bcs_diff if bc.field == "p"]
         self.bcs_sub_pressure = (
             np.unique(np.concatenate(subs)) if subs else np.zeros(0, np.int64)
         )
@@ -110,49 +137,74 @@ class Poromechanics(AbstractPhysics):
         )
 
     # ------------------------------------------------------------------
+    def _pad_monolithic(self, A: sp.csr_matrix) -> sp.csr_matrix:
+        """Embed the n x n operator into padded layout with identity pads."""
+        if self.n_pad == A.shape[0]:
+            return A.tocsr()
+        coo = A.tocoo()
+        rows = np.concatenate([self.pad_index[coo.row], self.pad_slots])
+        cols = np.concatenate([self.pad_index[coo.col], self.pad_slots])
+        data = np.concatenate([coo.data, np.ones(self.pad_slots.size)])
+        return sp.csr_matrix(
+            (data, (rows, cols)), shape=(self.n_pad, self.n_pad)
+        )
+
+    def _pad_field_square(self, M: sp.csr_matrix, size_p: int) -> sp.csr_matrix:
+        """Pad a single-field square operator with identity rows."""
+        n = M.shape[0]
+        if n == size_p:
+            return M.tocsr()
+        coo = M.tocoo()
+        pads = np.arange(n, size_p)
+        rows = np.concatenate([coo.row, pads])
+        cols = np.concatenate([coo.col, pads])
+        data = np.concatenate([coo.data, np.ones(pads.size)])
+        return sp.csr_matrix((data, (rows, cols)), shape=(size_p, size_p))
+
+    def _pad_rect(self, M: sp.csr_matrix, rp: int, cp: int) -> sp.csr_matrix:
+        M = M.tocsr(copy=True)
+        M.resize((rp, cp))
+        return M
+
     def _bc_applied_operators(self):
-        """Monolithic A and P with BC row surgery; returns (A, P, Pdiff_pp, bc)."""
+        """Padded monolithic A and P with BC row surgery.
+
+        Returns (A, P, Pdiff_pp, (bc_dofs, bc_vals)) in padded numbering.
+        """
         W = self.W
         order = list(FIELDS)
         sizes = [W.field(k).size for k in order]
 
         def monolithic(blocks):
             grid = [
-                [
-                    blocks.get((r, c), None)
-                    for c in order
-                ]
-                for r in order
+                [blocks.get((r, c), None) for c in order] for r in order
             ]
-            # replace None with explicit zero blocks for bmat
-            for i, r in enumerate(order):
-                for j, c in enumerate(order):
+            for i in range(len(order)):
+                for j in range(len(order)):
                     if grid[i][j] is None:
-                        grid[i][j] = _zero_csr((sizes[i], sizes[j]))
+                        grid[i][j] = sp.csr_matrix((sizes[i], sizes[j]))
             return sp.bmat(grid, format="csr")
 
         A = monolithic(self.assembler.A_blocks)
         P = monolithic(self.assembler.P_blocks)
 
         bc_dofs, bc_vals = bc_dofs_values(self.bcs)
-        A = apply_bcs_matrix(A, bc_dofs)
-        P = apply_bcs_matrix(P, bc_dofs)
+        A = self._pad_monolithic(apply_bcs_matrix(A, bc_dofs))
+        P = self._pad_monolithic(apply_bcs_matrix(P, bc_dofs))
 
         Pd = self.assembler.P_diff_pp
         if self.three_way and Pd is not None:
-            # bcs rows: only pressure-field bcs of `bcs` touch the pp block
-            p_off = W.offset("p")
-            p_rows_main = [
-                bc.local_dofs for bc in self.bcs if bc.field == "p"
-            ]
-            p_rows_diff = [bc.local_dofs for bc in self.bcs_diff if bc.field == "p"]
-            rows = np.unique(
-                np.concatenate(p_rows_main + p_rows_diff)
-                if (p_rows_main or p_rows_diff)
+            p_rows = [bc.local_dofs for bc in self.bcs if bc.field == "p"]
+            p_rows += [bc.local_dofs for bc in self.bcs_diff if bc.field == "p"]
+            rows = (
+                np.unique(np.concatenate(p_rows))
+                if p_rows
                 else np.zeros(0, np.int64)
             )
-            Pd = apply_bcs_matrix(Pd.tocsr(), rows)
-        return A, P, Pd, (bc_dofs, bc_vals)
+            Pd = self._pad_field_square(
+                apply_bcs_matrix(Pd.tocsr(), rows), self.np_p
+            )
+        return A, P, Pd, (self.pad_index[bc_dofs], bc_vals)
 
     def _inner_cfg(self, block: str) -> InnerConfig:
         """Inner solver config for one block, with options-DB override.
@@ -172,12 +224,29 @@ class Poromechanics(AbstractPhysics):
             int(p.get("inner maxiter", 10)),
         )
 
+    def _rigid_modes_padded(self, space, n_field, n_field_p, dof_offset, bc_dofs):
+        """Rigid-body near-nullspace for a padded vector field, BC rows zeroed.
+
+        Pad nodes get translation-mode entries so AMG coarse operators stay
+        nonsingular on the identity pad rows.
+        """
+        dim = self.mesh.dim
+        coords = space.node_coords
+        pad_nodes = (n_field_p - n_field) // dim
+        coords_p = np.vstack([coords, np.zeros((pad_nodes, dim))])
+        B = rigid_body_modes(coords_p)
+        f_bc = bc_dofs[(bc_dofs >= dof_offset) & (bc_dofs < dof_offset + n_field)]
+        mask = np.ones(n_field_p, bool)
+        mask[f_bc - dof_offset] = False
+        return B * mask[:, None]
+
     def create_solver(self):
         """Build device operators, block PC and the jitted outer solver."""
         t0 = _time.perf_counter()
         W = self.W
-        ns, nf, npp = self.ns, self.nf, self.npp
+        ns_p, nf_p, np_p = self.padded_sizes
         dtype = self.dtype
+        dim = self.mesh.dim
 
         A, P, Pd_pp, (bc_dofs, bc_vals) = self._bc_applied_operators()
         self.bc_dofs = jnp.asarray(bc_dofs)
@@ -185,28 +254,26 @@ class Poromechanics(AbstractPhysics):
 
         self.A_dev = ELL.from_csr(A, dtype)
 
-        sl = {k: W.field(k).slice for k in FIELDS}
+        sl = {
+            "s": slice(0, ns_p),
+            "f": slice(ns_p, ns_p + nf_p),
+            "p": slice(ns_p + nf_p, self.n_pad),
+        }
         P_ss = P[sl["s"], sl["s"]].tocsr()
         P_ff = P[sl["f"], sl["f"]].tocsr()
         P_pp = P[sl["p"], sl["p"]].tocsr()
 
-        # near-nullspace for AMG on the vector blocks: rigid-body modes with
-        # BC rows zeroed (reference sketches the same for GAMG, solid.py:132-168)
-        Vs = W.space("s")
-        B_s = rigid_body_modes(Vs.node_coords)
-        mask_s = np.ones(ns, bool)
-        mask_s[bc_dofs[bc_dofs < ns]] = False
-        B_s = B_s * mask_s[:, None]
-        Vf = W.space("f")
-        B_f = rigid_body_modes(Vf.node_coords)
-        f_bc = bc_dofs[(bc_dofs >= ns) & (bc_dofs < ns + nf)] - ns
-        mask_f = np.ones(nf, bool)
-        mask_f[f_bc] = False
-        B_f = B_f * mask_f[:, None]
+        # near-nullspace for AMG on the vector blocks (the reference
+        # sketches the same for GAMG, solid.py:132-168)
+        B_s = self._rigid_modes_padded(W.space("s"), self.ns, ns_p, 0, bc_dofs)
+        B_f = self._rigid_modes_padded(W.space("f"), self.nf, nf_p, ns_p, bc_dofs)
 
-        dim = self.mesh.dim
         solve_s = build_inner_solver(
-            P_ss, self._inner_cfg("s"), dofs_per_node=dim, near_nullspace=B_s, dtype=dtype
+            P_ss,
+            self._inner_cfg("s"),
+            dofs_per_node=dim,
+            near_nullspace=B_s,
+            dtype=dtype,
         )
 
         if self.two_way:
@@ -214,7 +281,7 @@ class Poromechanics(AbstractPhysics):
             if cfg_fp.method == "lu":
                 # exact operating point: single LU of the whole fp block
                 # (petsc-options-exact:31-35)
-                P_fpfp = P[ns:, ns:].tocsr()
+                P_fpfp = P[ns_p:, ns_p:].tocsr()
                 solve_fp = build_inner_solver(P_fpfp, cfg_fp, dtype=dtype)
             else:
                 # inexact: Schur fieldsplit lower + selfp
@@ -230,9 +297,9 @@ class Poromechanics(AbstractPhysics):
                     dtype=dtype,
                 )
             self.pc = BlockPreconditioner(
-                ns,
-                nf,
-                npp,
+                ns_p,
+                nf_p,
+                np_p,
                 False,
                 solve_s,
                 solve_fp=solve_fp,
@@ -249,12 +316,12 @@ class Poromechanics(AbstractPhysics):
             )
             solve_p = build_inner_solver(P_pp, self._inner_cfg("p"), dtype=dtype)
             solve_diff = build_inner_solver(Pd_pp, self._inner_cfg("diff"), dtype=dtype)
-            mask = np.ones(npp)
+            mask = np.ones(np_p)
             mask[self.bcs_sub_pressure] = 0.0
             self.pc = BlockPreconditioner(
-                ns,
-                nf,
-                npp,
+                ns_p,
+                nf_p,
+                np_p,
                 True,
                 solve_s,
                 solve_f=solve_f,
@@ -268,10 +335,15 @@ class Poromechanics(AbstractPhysics):
                 w2=float(self.parameters.get("w2", 0.1)),
             )
 
-        # history matrices for the full-residual RHS
+        # history matrices for the full-residual RHS (padded rectangular)
         if self.assembler.rhs_mode == "full-residual":
             H = self.assembler.history_matrices()
-            self.H_dev = {k: ELL.from_csr(v, dtype) for k, v in H.items()}
+            pads = {"s": ns_p, "f": nf_p, "p": np_p}
+            hsz = {"us1": ns_p, "us2": ns_p, "uf1": nf_p, "p1": np_p}
+            self.H_dev = {
+                k: ELL.from_csr(self._pad_rect(v, pads[k[0]], hsz[k[1]]), dtype)
+                for k, v in H.items()
+            }
         else:
             self.H_dev = None
 
@@ -281,17 +353,14 @@ class Poromechanics(AbstractPhysics):
         atol = float(p.get("solver atol", 1e-8))
         maxiter = int(p.get("solver maxiter", 500))
         use_fieldwise = bool(p.get("fieldwise convergence", True))
-
-        sizes = (ns, nf, npp)
+        sizes = self.padded_sizes
 
         # NOTE: the operator pytrees (A_dev, pc) are jit *arguments*, not
         # closure constants — closing over device matrices bakes them into
         # the executable and triggers XLA constant folding over the whole
         # sparse data (slow compiles, duplicated HBM).
         def _solve(A_dev, pc, b_dev, x0):
-            fw = (
-                FieldwiseTest.from_sizes(sizes, b_dev) if use_fieldwise else None
-            )
+            fw = FieldwiseTest.from_sizes(sizes, b_dev) if use_fieldwise else None
             if solver_type == "aar":
                 return aar(
                     A_dev.matvec,
@@ -352,7 +421,9 @@ class Poromechanics(AbstractPhysics):
     # ------------------------------------------------------------------
     def get_rhs(self, t):
         loads = self.assembler.get_load_vector(t)
-        b = jnp.asarray(loads, dtype=self.dtype)
+        b_np = np.zeros(self.n_pad)
+        b_np[self.pad_index] = loads
+        b = jnp.asarray(b_np, dtype=self.dtype)
         if self.H_dev is not None:
             b = b + self._jit_rhs_hist(
                 self.H_dev, self.us_nm1, self.us_nm2, self.uf_nm1, self.p_nm1
@@ -373,15 +444,12 @@ class Poromechanics(AbstractPhysics):
         self.t_solve_total += _time.perf_counter() - t0
 
         self.sol = res.x
-        ns, nf = self.ns, self.nf
-        us = res.x[:ns]
-        uf = res.x[ns : ns + nf]
-        pp = res.x[ns + nf :]
-        # rotate history (lib/Poromechanics.py:93-97)
+        ns_p, nf_p, np_p = self.padded_sizes
+        # rotate (padded) history (lib/Poromechanics.py:93-97)
         self.us_nm2 = self.us_nm1
-        self.us_nm1 = us
-        self.uf_nm1 = uf
-        self.p_nm1 = pp
+        self.us_nm1 = res.x[:ns_p]
+        self.uf_nm1 = res.x[ns_p : ns_p + nf_p]
+        self.p_nm1 = res.x[ns_p + nf_p :]
         its = int(res.iters)
         self.iteration_log.append(its)
         self.last_result = res
@@ -389,10 +457,14 @@ class Poromechanics(AbstractPhysics):
 
     def solution_fields(self):
         return {
-            "displacement": np.asarray(self.us_nm1),
-            "fluid velocity": np.asarray(self.uf_nm1),
-            "pressure": np.asarray(self.p_nm1),
+            "displacement": np.asarray(self.us_nm1)[: self.ns],
+            "fluid velocity": np.asarray(self.uf_nm1)[: self.nf],
+            "pressure": np.asarray(self.p_nm1)[: self.npp],
         }
+
+    def unpadded_solution(self):
+        """Solution vector in the original (unpadded) dof numbering."""
+        return np.asarray(self.sol)[self.pad_index]
 
     def print_timings(self):
         parprint("\n===== Timing Solver: {:.3f}s".format(self.t_solve_total))

@@ -1,0 +1,138 @@
+"""Device-mesh sharding of the solver state (the MPI replacement).
+
+The reference's one parallelism strategy is MPI domain decomposition: a
+1-D row partition of matrices and vectors with PETSc-internal halo
+exchange and allreduce (SURVEY.md §2.5).  The TPU-native equivalent is a
+1-D device mesh with GSPMD sharding annotations:
+
+- ELL matrix rows and all solver vectors are sharded over the "rows" mesh
+  axis (block-row partition = mesh partition);
+- the gather ``x[cols]`` in SpMV reads across shards -> XLA inserts the
+  all-gather over ICI (halo exchange; an explicit ppermute-based
+  neighbor-halo pipeline is the planned refinement);
+- dot products / norms lower to psum collectives (MPI_Allreduce);
+- the Krylov basis (m+1, n) is sharded over n, so CGS2 orthogonalization
+  becomes a sharded matmul + psum;
+- small operators (Givens state, Gram systems, dense coarse/LU factors,
+  Schur blocks) stay replicated.
+
+Everything here only *annotates* the existing solver pytrees — the jitted
+solve is unchanged; XLA partitions the whole while_loop body.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sparse import ELL
+from ..precond.amg import AMG, AMGLevel
+from ..precond.block import BlockPreconditioner
+from ..precond.inner import InnerSolver
+from ..precond.schur import SchurFieldsplit
+
+
+def solver_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the row-partition axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("rows",))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_vector(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P("rows")))
+
+
+def shard_ell(E: ELL, mesh: Mesh) -> ELL:
+    """Row-partition an ELL matrix over the mesh (cols stay global)."""
+    rows2d = NamedSharding(mesh, P("rows", None))
+    return ELL(
+        jax.device_put(E.data, rows2d), jax.device_put(E.cols, rows2d), E.ncols
+    )
+
+
+def _shard_inner(solver: InnerSolver, mesh: Mesh) -> InnerSolver:
+    """Shard an inner solver: large per-row data over rows, dense factors
+    replicated."""
+    k = solver.kind
+    pl = solver.payload
+    out = dict(pl)
+    if k in ("jacobi", "chebyshev", "cg"):
+        if "A" in out:
+            out["A"] = shard_ell(out["A"], mesh)
+        if "dinv" in out:
+            out["dinv"] = shard_vector(out["dinv"], mesh)
+    elif k == "lu":
+        out = replicate(out, mesh)
+    elif k in ("amg", "cg+amg"):
+        out["A"] = shard_ell(out["A"], mesh)
+        out["amg"] = shard_amg(out["amg"], mesh)
+    return InnerSolver(k, out, solver.iters, solver.lmax, solver.cheb_frac)
+
+
+def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
+    """Fine levels row-sharded; coarse dense factors replicated."""
+    levels = []
+    for lvl in amg.levels:
+        levels.append(
+            AMGLevel(
+                shard_ell(lvl.A, mesh),
+                shard_ell(lvl.P, mesh),
+                shard_ell(lvl.R, mesh),
+                shard_vector(lvl.dinv, mesh),
+                lvl.lmax,
+            )
+        )
+    return AMG(
+        levels,
+        replicate(amg.coarse_lu, mesh),
+        replicate(amg.coarse_piv, mesh),
+        amg.presmooth,
+        amg.postsmooth,
+    )
+
+
+def shard_operator(op, mesh: Mesh):
+    """Shard any solver-side operator pytree for mesh execution."""
+    if isinstance(op, ELL):
+        return shard_ell(op, mesh)
+    if isinstance(op, InnerSolver):
+        return _shard_inner(op, mesh)
+    if isinstance(op, SchurFieldsplit):
+        return SchurFieldsplit(
+            op.nf,
+            _shard_inner(op.solve_f, mesh),
+            _shard_inner(op.solve_S, mesh),
+            shard_ell(op.Apf, mesh),
+        )
+    if isinstance(op, BlockPreconditioner):
+        sh = lambda x: shard_operator(x, mesh) if x is not None else None
+        shv = lambda x: shard_vector(x, mesh) if x is not None else None
+        return BlockPreconditioner(
+            op.ns,
+            op.nf,
+            op.np_,
+            op.three_way,
+            sh(op.solve_s),
+            solve_fp=sh(op.solve_fp),
+            Pfs=sh(op.Pfs),
+            Pps=sh(op.Pps),
+            solve_f=sh(op.solve_f),
+            solve_p=sh(op.solve_p),
+            solve_diff=sh(op.solve_diff),
+            Pfp=sh(op.Pfp),
+            Psf=sh(op.Psf),
+            Psp=sh(op.Psp),
+            diff_rhs_mask=shv(op.diff_rhs_mask),
+            w1=op.w1,
+            w2=op.w2,
+        )
+    # fallback: replicate
+    return replicate(op, mesh)

@@ -1,0 +1,107 @@
+"""Sharded-solve tests on the virtual 8-device CPU mesh.
+
+The multi-device testing the reference lacks (SURVEY.md §4): the sharded
+FGMRES + block-PC solve must produce the same solution as the
+single-device solve.  Problems are built with ``pad multiple = 8`` so
+every per-field operator row count divides the mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from porotpu.models import benchmarks
+from porotpu.ops.sparse import ELL
+from porotpu.parallel import shard_ell, shard_operator, shard_vector, solver_mesh
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_spmv_matches():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    A = (sp.random(320, 320, 0.05, random_state=rng) + sp.eye(320)).tocsr()
+    E = ELL.from_csr(A, jnp.float64)
+    mesh = solver_mesh(8)
+    Es = shard_ell(E, mesh)
+    x = jnp.asarray(rng.normal(size=320))
+    y1 = np.asarray(E.matvec(x))
+    y2 = np.asarray(jax.jit(lambda ee, xx: ee.matvec(xx))(Es, x))
+    assert np.allclose(y1, y2, atol=1e-12)
+
+
+def _sharded_vs_single(overrides, N=6, builder=benchmarks.swelling):
+    # single-device (unpadded)
+    prob1 = builder(Nelements=N, overrides=dict(overrides))
+    prob1.create_solver()
+    prob1.first_timestep = False
+    t = prob1.t0 + prob1.parameters["dt"]
+    b1 = prob1.get_rhs(t)
+    res1 = prob1._jit_solve(prob1.A_dev, prob1.pc, b1, jnp.zeros_like(b1))
+
+    # padded + sharded over 8 devices
+    ov = dict(overrides)
+    ov["pad multiple"] = 8
+    prob2 = builder(Nelements=N, overrides=ov)
+    prob2.create_solver()
+    prob2.first_timestep = False
+    b2 = prob2.get_rhs(t)
+    mesh = solver_mesh(8)
+    res2 = prob2._jit_solve(
+        shard_ell(prob2.A_dev, mesh),
+        shard_operator(prob2.pc, mesh),
+        shard_vector(b2, mesh),
+        shard_vector(jnp.zeros_like(b2), mesh),
+    )
+    x1 = np.asarray(res1.x)[prob1.pad_index]
+    x2 = np.asarray(res2.x)[prob2.pad_index]
+    return res1, res2, x1, x2
+
+
+def test_sharded_full_solve_matches_single_device():
+    res1, res2, x1, x2 = _sharded_vs_single(
+        {
+            "pc type": "diagonal",
+            "inner pc type": "hypre",
+            "solver rtol": 1e-8,
+            "solver atol": 1e-12,
+        }
+    )
+    assert bool(res2.converged)
+    assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-8
+
+
+def test_sharded_3way_solve():
+    res1, res2, x1, x2 = _sharded_vs_single(
+        {
+            "pc type": "diagonal 3-way",
+            "inner pc type": "lu",
+            "solver rtol": 1e-8,
+            "solver atol": 1e-12,
+            "solver maxiter": 400,
+        },
+        N=4,
+    )
+    assert bool(res2.converged)
+    assert np.all(np.isfinite(x2))
+    assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-6
+
+
+def test_padded_unsharded_matches_unpadded():
+    # pad multiple > 1 must not change the solution even without sharding
+    ov = {"pc type": "undrained", "inner pc type": "lu",
+          "solver rtol": 1e-10, "solver atol": 1e-12}
+    prob1 = benchmarks.footing(Nelements=4, overrides=dict(ov))
+    iters1 = prob1.solve()
+    ov["pad multiple"] = 8
+    prob2 = benchmarks.footing(Nelements=4, overrides=dict(ov))
+    iters2 = prob2.solve()
+    x1 = prob1.unpadded_solution()
+    x2 = prob2.unpadded_solution()
+    assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-8
+    assert iters1 == iters2
