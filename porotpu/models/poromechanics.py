@@ -401,6 +401,7 @@ class Poromechanics(AbstractPhysics):
                 fieldwise=fw,
             )
 
+        self._solve_fn = _solve  # unjitted (for external jit/sharding wrappers)
         self._jit_solve = jax.jit(_solve)
 
         # jitted RHS history application

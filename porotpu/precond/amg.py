@@ -60,8 +60,19 @@ def _strength(C: sp.csr_matrix, theta: float) -> sp.csr_matrix:
 
 
 def _aggregate(S: sp.csr_matrix) -> np.ndarray:
-    """Greedy standard aggregation. Returns agg id per node (-1 none)."""
+    """Greedy standard aggregation. Returns agg id per node (-1 none).
+
+    Uses the native C++ kernel (porotpu/native/aggregation.cpp) when
+    available — the sequential sweep is the host-setup hot spot at scale —
+    with this numpy/python loop as the reference fallback.
+    """
     n = S.shape[0]
+    from ..native import greedy_aggregate
+
+    res = greedy_aggregate(S.indptr, S.indices, n)
+    if res is not None:
+        return res[0]
+
     agg = np.full(n, -1, dtype=np.int64)
     indptr, indices = S.indptr, S.indices
     na = 0
