@@ -28,3 +28,25 @@ Layers (bottom → top), mirroring the reference's 4-layer stack:
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_host_allocator():
+    """Keep large malloc arenas resident (first-touch page faults are ~100x
+    more expensive than warm access in the microVM environments this runs
+    in; without this, every large numpy temporary re-faults its pages).
+
+    Equivalent to MALLOC_MMAP_THRESHOLD_/MALLOC_TRIM_THRESHOLD_ env vars,
+    but applied at import time via mallopt(3).
+    """
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_host_allocator()

@@ -1,14 +1,16 @@
 """Vectorized FE assembly of the poromechanics bilinear/linear forms.
 
 Replaces FFC/UFL-generated C++ element kernels + DOLFIN parallel assembly
-(reference: every ``assemble(...)`` in lib/Assembler.py).  All element
-tensors are computed for all cells at once with einsum over
-(cell, quadrature, basis, dim) arrays; the global scatter goes through
-scipy.sparse COO->CSR.  This is host-side setup code: matrices are
-assembled once per problem (the reference's operators are time-independent,
-lib/Assembler.py:66-97) and then shipped to device in ELL format.
+(reference: every ``assemble(...)`` in lib/Assembler.py).
 
-Element-matrix identities used below (g = physical basis gradients):
+Performance design: all cells are affine, so every element tensor is
+quadrature-separable — a tiny *reference tensor* (integrals of basis
+products on the reference simplex, computed once) contracted with
+per-cell geometry factors (invJ^T, detJ).  Assembly is then a handful of
+BLAS-shaped einsums over (cells, 9, nb*nb) instead of per-cell
+quadrature loops, plus one COO->CSR scatter with cached index arrays.
+
+Element-matrix identities (g = physical basis gradients):
   mass:        E[(a,c),(b,d)] = delta_cd  ∫ phi_a phi_b
   eps:eps:     E[(a,c),(b,d)] = 1/2 ∫ ( delta_cd  grad phi_a . grad phi_b
                                         + d_d phi_a  d_c phi_b )
@@ -32,50 +34,81 @@ from .dofmap import FunctionSpace
 
 def cell_geometry(mesh):
     """Affine cell maps: returns (invJT (nc, dim, dim), detJ (nc,))."""
+    if getattr(mesh, "_geom_cache", None) is not None:
+        return mesh._geom_cache
     v = mesh.vertices[mesh.cells]  # (nc, dim+1, dim)
     J = np.transpose(v[:, 1:, :] - v[:, :1, :], (0, 2, 1))  # (nc, dim, dim)
     detJ = np.abs(np.linalg.det(J))
     invJ = np.linalg.inv(J)
     invJT = np.transpose(invJ, (0, 2, 1))
-    return invJT, detJ
+    mesh._geom_cache = (invJT, detJ)
+    return mesh._geom_cache
 
 
-def _tabulated(space: FunctionSpace, degree_q: int):
-    mesh = space.mesh
-    pts, wts = quadrature.simplex_rule(mesh.dim, degree_q)
-    phi, dphi_ref = elements.tabulate(mesh.dim, space.degree, pts)
-    invJT, detJ = cell_geometry(mesh)
-    # physical gradients: g[e, q, a, k] = dphi_ref[q, a, m] * invJ[m, k]
-    g = np.einsum("qam,ekm->eqak", dphi_ref, invJT)
-    return phi, g, wts, detJ
+# ---------------------------------------------------------------------------
+# reference tensors (computed once per (dim, degree) pair)
+# ---------------------------------------------------------------------------
+
+_REF_CACHE: dict = {}
 
 
-def _scatter(rows, cols, vals, shape) -> sp.csr_matrix:
+def _ref_tensors(dim: int, deg_test: int, deg_trial: int):
+    """Reference-simplex integrals:
+    Mref[a,b]     = ∫ phi_a phi_b
+    Kref[m,n,a,b] = ∫ d_m phi_a d_n phi_b      (reference gradients)
+    Dref[m,a,b]   = ∫ psi_a d_m phi_b          (psi = test basis)
+    """
+    key = (dim, deg_test, deg_trial)
+    if key in _REF_CACHE:
+        return _REF_CACHE[key]
+    qdeg = 2 * max(deg_test, deg_trial)
+    pts, wts = quadrature.simplex_rule(dim, qdeg)
+    phi_t, dphi_t = elements.tabulate(dim, deg_test, pts)
+    phi_u, dphi_u = elements.tabulate(dim, deg_trial, pts)
+    Mref = np.einsum("q,qa,qb->ab", wts, phi_t, phi_u, optimize=True)
+    Kref = np.einsum("q,qam,qbn->mnab", wts, dphi_t, dphi_u, optimize=True)
+    Dref = np.einsum("q,qa,qbm->mab", wts, phi_t, dphi_u, optimize=True)
+    _REF_CACHE[key] = (Mref, Kref, Dref)
+    return _REF_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# scatter with cached indices
+# ---------------------------------------------------------------------------
+
+
+def _scatter_indices(test: FunctionSpace, trial: FunctionSpace):
+    cache = getattr(test, "_scatter_cache", None)
+    if cache is None:
+        cache = test._scatter_cache = {}
+    key = id(trial)
+    if key not in cache:
+        rd = test.cell_dofs.astype(np.int32)
+        cd = trial.cell_dofs.astype(np.int32)
+        rows = np.repeat(rd[:, :, None], cd.shape[1], axis=2).ravel()
+        cols = np.repeat(cd[:, None, :], rd.shape[1], axis=1).ravel()
+        cache[key] = (rows, cols)
+    return cache[key]
+
+
+def _scatter_matrix(test: FunctionSpace, trial: FunctionSpace, E) -> sp.csr_matrix:
+    """E: (nc, nb_test_dofs, nb_trial_dofs) element matrices."""
+    rows, cols = _scatter_indices(test, trial)
     A = sp.coo_matrix(
-        (vals.ravel(), (rows.ravel(), cols.ravel())), shape=shape
+        (E.reshape(-1), (rows, cols)), shape=(test.num_dofs, trial.num_dofs)
     ).tocsr()
     A.sum_duplicates()
     return A
 
 
-def _scatter_matrix(test: FunctionSpace, trial: FunctionSpace, E) -> sp.csr_matrix:
-    """E: (nc, nb_test_dofs, nb_trial_dofs) element matrices."""
-    rd = test.cell_dofs  # (nc, nbt)
-    cd = trial.cell_dofs  # (nc, nbu)
-    rows = np.repeat(rd[:, :, None], cd.shape[1], axis=2)
-    cols = np.repeat(cd[:, None, :], rd.shape[1], axis=1)
-    return _scatter(rows, cols, E, (test.num_dofs, trial.num_dofs))
-
-
-def _expand_vector(E_scalar_block, dim, kind):
-    """Expand scalar-basis blocks into vector-dof element matrices.
-
-    kind='mass': E[(a,c),(b,d)] = delta_cd * M_ab
-    """
-    nc, na, nb = E_scalar_block.shape
+def _expand_vector_mass(M_block, detJ, dim):
+    """E[e, (a,c), (b,d)] = delta_cd detJ_e M_block[a,b]."""
+    na, nb = M_block.shape
+    nc = detJ.shape[0]
     out = np.zeros((nc, na * dim, nb * dim))
+    blk = detJ[:, None, None] * M_block[None, :, :]
     for c in range(dim):
-        out[:, c::dim, c::dim] = E_scalar_block
+        out[:, c::dim, c::dim] = blk
     return out
 
 
@@ -86,12 +119,13 @@ def _expand_vector(E_scalar_block, dim, kind):
 
 def mass(space: FunctionSpace, coeff: float = 1.0, qdeg=None) -> sp.csr_matrix:
     """coeff * ∫ u v  (scalar) or coeff * ∫ u . v (vector)."""
-    qdeg = qdeg or 2 * space.degree
-    phi, g, wts, detJ = _tabulated(space, qdeg)
-    M = np.einsum("q,qa,qb,e->eab", wts, phi, phi, detJ) * coeff
+    Mref, _, _ = _ref_tensors(space.dim, space.degree, space.degree)
+    _, detJ = cell_geometry(space.mesh)
     if space.vector:
-        M = _expand_vector(M, space.ncomp, "mass")
-    return _scatter_matrix(space, space, M)
+        E = coeff * _expand_vector_mass(Mref, detJ, space.ncomp)
+    else:
+        E = coeff * detJ[:, None, None] * Mref[None, :, :]
+    return _scatter_matrix(space, space, E)
 
 
 def mass_coupling(
@@ -102,38 +136,66 @@ def mass_coupling(
     Used for the Darcy drag coupling blocks (reference lib/Assembler.py:83,89).
     """
     assert test.mesh is trial.mesh
-    qdeg = test.degree + trial.degree
-    pts, wts = quadrature.simplex_rule(test.mesh.dim, qdeg)
-    phit, _ = elements.tabulate(test.mesh.dim, test.degree, pts)
-    phiu, _ = elements.tabulate(test.mesh.dim, trial.degree, pts)
+    Mref, _, _ = _ref_tensors(test.dim, test.degree, trial.degree)
     _, detJ = cell_geometry(test.mesh)
-    M = np.einsum("q,qa,qb,e->eab", wts, phit, phiu, detJ) * coeff
     if test.vector:
-        M = _expand_vector(M, test.ncomp, "mass")
-    return _scatter_matrix(test, trial, M)
+        E = coeff * _expand_vector_mass(Mref, detJ, test.ncomp)
+    else:
+        E = coeff * detJ[:, None, None] * Mref[None, :, :]
+    return _scatter_matrix(test, trial, E)
+
+
+def _grad_contraction(space):
+    """C[e,m,n] = sum_k invJT[e,k,m] invJT[e,k,n] * detJ[e]."""
+    invJT, detJ = cell_geometry(space.mesh)
+    return np.einsum("ekm,ekn,e->emn", invJT, invJT, detJ, optimize=True)
 
 
 def stiffness(space: FunctionSpace, coeff: float = 1.0) -> sp.csr_matrix:
     """coeff * ∫ grad p . grad q  (scalar space)."""
-    qdeg = 2 * (space.degree - 1) + 2
-    phi, g, wts, detJ = _tabulated(space, qdeg)
-    K = np.einsum("q,eqak,eqbk,e->eab", wts, g, g, detJ) * coeff
-    return _scatter_matrix(space, space, K)
+    _, Kref, _ = _ref_tensors(space.dim, space.degree, space.degree)
+    C = _grad_contraction(space)
+    dim = space.dim
+    nb = Kref.shape[-1]
+    E = np.einsum(
+        "emn,mnab->eab", C, Kref, optimize=True
+    ) * coeff
+    return _scatter_matrix(space, space, E)
+
+
+def _partial_products(space):
+    """S[(d,c)][e,a,b] = detJ ∫ d_d phi_a d_c phi_b (physical gradients).
+
+    Computed as invJT[e,d,m] invJT[e,c,n] Kref[m,n,a,b] detJ[e] — one BLAS
+    einsum per (d,c) pair.
+    """
+    _, Kref, _ = _ref_tensors(space.dim, space.degree, space.degree)
+    invJT, detJ = cell_geometry(space.mesh)
+    dim = space.dim
+    Kf = Kref.reshape(dim * dim, -1)  # (m*n, a*b)
+    nb = Kref.shape[-1]
+    out = {}
+    for d in range(dim):
+        for c in range(dim):
+            # W[e, m*n] = invJT[e,d,m] invJT[e,c,n] * detJ
+            W = (
+                invJT[:, d, :, None] * invJT[:, c, None, :]
+            ).reshape(len(detJ), -1) * detJ[:, None]
+            out[(d, c)] = (W @ Kf).reshape(len(detJ), nb, nb)
+    return out
 
 
 def eps_eps(space: FunctionSpace, coeff: float = 1.0) -> sp.csr_matrix:
     """coeff * ∫ eps(u) : eps(v)  (vector space)."""
     assert space.vector
     dim = space.ncomp
-    qdeg = 2 * space.degree
-    phi, g, wts, detJ = _tabulated(space, qdeg)
-    K = np.einsum("q,eqak,eqbk,e->eab", wts, g, g, detJ)  # grad.grad
-    G = np.einsum("q,eqad,eqbc,e->eabdc", wts, g, g, detJ)  # d_d a * d_c b
+    S = _partial_products(space)
+    K = sum(S[(k, k)] for k in range(dim))  # grad.grad
     nc, na, nb = K.shape
     E = np.zeros((nc, na * dim, nb * dim))
     for c in range(dim):
         for d in range(dim):
-            blk = 0.5 * G[:, :, :, d, c]
+            blk = 0.5 * S[(d, c)]
             if c == d:
                 blk = blk + 0.5 * K
             E[:, c::dim, d::dim] = blk
@@ -144,23 +206,34 @@ def divdiv(space: FunctionSpace, coeff: float = 1.0) -> sp.csr_matrix:
     """coeff * ∫ div(u) div(v)  (vector space)."""
     assert space.vector
     dim = space.ncomp
-    qdeg = 2 * space.degree
-    phi, g, wts, detJ = _tabulated(space, qdeg)
-    G = np.einsum("q,eqac,eqbd,e->eabcd", wts, g, g, detJ)
-    nc, na, nb = G.shape[:3]
+    S = _partial_products(space)
+    nc = space.mesh.num_cells
+    na = nb = S[(0, 0)].shape[1]
     E = np.zeros((nc, na * dim, nb * dim))
     for c in range(dim):
         for d in range(dim):
-            E[:, c::dim, d::dim] = G[:, :, :, c, d]
+            E[:, c::dim, d::dim] = S[(c, d)]
     return _scatter_matrix(space, space, coeff * E)
 
 
 def hooke(space: FunctionSpace, mu: float, lam: float) -> sp.csr_matrix:
     """∫ hooke(eps(u)) : eps(v) = 2 mu eps:eps + lam div div.
 
-    (reference lib/Assembler.py:69-70)
+    (reference lib/Assembler.py:69-70) — assembled in a single element
+    tensor + one scatter.
     """
-    return (eps_eps(space, 2.0 * mu) + divdiv(space, lam)).tocsr()
+    dim = space.ncomp
+    S = _partial_products(space)
+    K = sum(S[(k, k)] for k in range(dim))
+    nc, na, nb = K.shape
+    E = np.zeros((nc, na * dim, nb * dim))
+    for c in range(dim):
+        for d in range(dim):
+            blk = mu * S[(d, c)] + lam * S[(c, d)]
+            if c == d:
+                blk = blk + mu * K
+            E[:, c::dim, d::dim] = blk
+    return _scatter_matrix(space, space, E)
 
 
 def div_coupling(
@@ -173,17 +246,16 @@ def div_coupling(
     assert trial_vec.vector and not test_scalar.vector
     mesh = test_scalar.mesh
     dim = mesh.dim
-    qdeg = test_scalar.degree + trial_vec.degree
-    pts, wts = quadrature.simplex_rule(dim, qdeg)
-    psi, _ = elements.tabulate(dim, test_scalar.degree, pts)
-    _, dphi_ref = elements.tabulate(dim, trial_vec.degree, pts)
+    _, _, Dref = _ref_tensors(dim, test_scalar.degree, trial_vec.degree)
     invJT, detJ = cell_geometry(mesh)
-    g = np.einsum("qam,ekm->eqak", dphi_ref, invJT)
-    D = np.einsum("q,qa,eqbd,e->eabd", wts, psi, g, detJ)  # (nc, na_s, nb_v, dim)
-    nc, na, nb, _ = D.shape
+    na, nb = Dref.shape[1], Dref.shape[2]
+    nc = mesh.num_cells
     E = np.zeros((nc, na, nb * dim))
+    Df = Dref.reshape(dim, -1)  # (m, a*b)
     for d in range(dim):
-        E[:, :, d::dim] = D[:, :, :, d]
+        # physical d-th partial: sum_m invJT[e,d,m] Dref[m,a,b] * detJ
+        W = invJT[:, d, :] * detJ[:, None]  # (e, m)
+        E[:, :, d::dim] = (W @ Df).reshape(nc, na, nb)
     return _scatter_matrix(test_scalar, trial_vec, coeff * E)
 
 
@@ -197,13 +269,14 @@ def cell_load(space: FunctionSpace, f_at_nodes=None, f_const=None) -> np.ndarray
 
     Returns dense vector of size space.num_dofs.
     """
-    qdeg = 2 * space.degree
-    phi, g, wts, detJ = _tabulated(space, qdeg)
+    pts, wts = quadrature.simplex_rule(space.dim, 2 * space.degree)
+    phi, _ = elements.tabulate(space.dim, space.degree, pts)
+    _, detJ = cell_geometry(space.mesh)
     b = np.zeros(space.num_dofs)
     if f_const is not None:
         f_const = np.atleast_1d(np.asarray(f_const, dtype=float))
-        # ∫ f_c phi_a per cell
-        Fa = np.einsum("q,qa,e->ea", wts, phi, detJ)  # (nc, nb)
+        Fa_ref = np.einsum("q,qa->a", wts, phi)
+        Fa = detJ[:, None] * Fa_ref[None, :]  # (nc, nb)
         if space.vector:
             for c in range(space.ncomp):
                 np.add.at(b, space.cell_dofs[:, c :: space.ncomp], Fa * f_const[c])
@@ -226,7 +299,7 @@ def _facet_tabulation(space: FunctionSpace, facet_ids: np.ndarray):
     # facet treated as a (dim-1)-simplex Lagrange element of same degree
     pts, wts = quadrature.facet_rule(dim, 2 * space.degree)
     fdim = dim - 1
-    phi, _ = elements.tabulate(fdim, space.degree, pts) if fdim >= 1 else (None, None)
+    phi, _ = elements.tabulate(fdim, space.degree, pts)
 
     # facet node ids in space numbering: vertices then edge midpoints
     nodes = [f]
@@ -246,7 +319,6 @@ def _facet_tabulation(space: FunctionSpace, facet_ids: np.ndarray):
     if dim == 2:
         t = verts[f[:, 1]] - verts[f[:, 0]]
         detJ = np.linalg.norm(t, axis=1)
-        # physical quad points
         x = verts[f[:, 0]][:, None, :] + pts[None, :, :] * t[:, None, :]
     else:
         e1 = verts[f[:, 1]] - verts[f[:, 0]]
@@ -278,11 +350,11 @@ def facet_load(space: FunctionSpace, measure, load, t: float) -> np.ndarray:
     if space.vector:
         vals = np.asarray(vals, dtype=float).reshape(nf, nq, space.ncomp)
         # F[f, a, c] = sum_q w_q detJ_f vals[f,q,c] phi[q,a]
-        F = np.einsum("q,fqc,qa,f->fac", wts, vals, phi, detJ)
+        F = np.einsum("q,fqc,qa,f->fac", wts, vals, phi, detJ, optimize=True)
         for c in range(space.ncomp):
             np.add.at(b, fnodes * space.ncomp + c, F[:, :, c])
     else:
         vals = np.asarray(vals, dtype=float).reshape(nf, nq)
-        F = np.einsum("q,fq,qa,f->fa", wts, vals, phi, detJ)
+        F = np.einsum("q,fq,qa,f->fa", wts, vals, phi, detJ, optimize=True)
         np.add.at(b, fnodes, F)
     return b

@@ -56,40 +56,104 @@ PC_TYPES = (
 )
 
 
-@dataclass
 class Primitives:
-    """The primitive matrices every block is built from."""
+    """The primitive matrices every block is built from — assembled lazily
+    (only the variants a given pc type touches get built) with same-degree
+    aliasing: when solid and fluid share the P2 space, the four vector
+    masses Mv_s/Mv_f/Msf/Mfs are one matrix."""
 
-    Mv_s: sp.csr_matrix  # solid vector mass
-    Mv_f: sp.csr_matrix  # fluid vector mass
-    Msf: sp.csr_matrix  # vector mass coupling (solid rows, fluid cols)
-    Mfs: sp.csr_matrix
-    Hooke: sp.csr_matrix  # 2 mu_s eps:eps + lmbda div div (solid)
-    EpsF: sp.csr_matrix  # 2 mu_f phi0 eps:eps (fluid)
-    DivDiv_s: sp.csr_matrix  # div div (solid)
-    DivDiv_f: sp.csr_matrix  # div div (fluid)
-    D_s: sp.csr_matrix  # ∫ q div(us)  (np x ns)
-    D_f: sp.csr_matrix  # ∫ q div(vf)  (np x nf)
-    Mp: sp.csr_matrix  # scalar mass
-    Kp: sp.csr_matrix  # scalar stiffness
+    def __init__(self, W: MixedSpace, mu_s, lmbda, mu_f, phi0):
+        self.W = W
+        self._mu_s, self._lmbda = mu_s, lmbda
+        self._mu_f, self._phi0 = mu_f, phi0
+        self._cache = {}
 
+    def _get(self, key, builder):
+        if key not in self._cache:
+            self._cache[key] = builder()
+        return self._cache[key]
 
-def assemble_primitives(W: MixedSpace) -> Primitives:
-    Vs, Vf, Qp = W.space("s"), W.space("f"), W.space("p")
-    return Primitives(
-        Mv_s=assemble.mass(Vs),
-        Mv_f=assemble.mass(Vf),
-        Msf=assemble.mass_coupling(Vs, Vf),
-        Mfs=assemble.mass_coupling(Vf, Vs),
-        Hooke=None,  # filled by caller with physical moduli
-        EpsF=None,
-        DivDiv_s=assemble.divdiv(Vs),
-        DivDiv_f=assemble.divdiv(Vf),
-        D_s=assemble.div_coupling(Qp, Vs),
-        D_f=assemble.div_coupling(Qp, Vf),
-        Mp=assemble.mass(Qp),
-        Kp=assemble.stiffness(Qp),
-    )
+    @property
+    def _same_deg(self):
+        return self.W.space("s").degree == self.W.space("f").degree
+
+    @property
+    def Mv_s(self):
+        return self._get("Mv_s", lambda: assemble.mass(self.W.space("s")))
+
+    @property
+    def Mv_f(self):
+        if self._same_deg:
+            return self.Mv_s
+        return self._get("Mv_f", lambda: assemble.mass(self.W.space("f")))
+
+    @property
+    def Msf(self):
+        if self._same_deg:
+            return self.Mv_s
+        return self._get(
+            "Msf",
+            lambda: assemble.mass_coupling(self.W.space("s"), self.W.space("f")),
+        )
+
+    @property
+    def Mfs(self):
+        if self._same_deg:
+            return self.Mv_s
+        return self._get(
+            "Mfs",
+            lambda: assemble.mass_coupling(self.W.space("f"), self.W.space("s")),
+        )
+
+    @property
+    def Hooke(self):
+        return self._get(
+            "Hooke",
+            lambda: assemble.hooke(self.W.space("s"), self._mu_s, self._lmbda),
+        )
+
+    @property
+    def EpsF(self):
+        return self._get(
+            "EpsF",
+            lambda: assemble.eps_eps(
+                self.W.space("f"), 2.0 * self._mu_f * self._phi0
+            ),
+        )
+
+    @property
+    def DivDiv_s(self):
+        return self._get("DivDiv_s", lambda: assemble.divdiv(self.W.space("s")))
+
+    @property
+    def DivDiv_f(self):
+        if self._same_deg and "DivDiv_s" in self._cache:
+            return self._cache["DivDiv_s"]
+        return self._get("DivDiv_f", lambda: assemble.divdiv(self.W.space("f")))
+
+    @property
+    def D_s(self):
+        return self._get(
+            "D_s",
+            lambda: assemble.div_coupling(self.W.space("p"), self.W.space("s")),
+        )
+
+    @property
+    def D_f(self):
+        if self._same_deg:
+            return self.D_s
+        return self._get(
+            "D_f",
+            lambda: assemble.div_coupling(self.W.space("p"), self.W.space("f")),
+        )
+
+    @property
+    def Mp(self):
+        return self._get("Mp", lambda: assemble.mass(self.W.space("p")))
+
+    @property
+    def Kp(self):
+        return self._get("Kp", lambda: assemble.stiffness(self.W.space("p")))
 
 
 class PoromechanicsAssembler:
@@ -148,9 +212,7 @@ class PoromechanicsAssembler:
 
         t0 = _time.perf_counter()
         W = self.W
-        pr = assemble_primitives(W)
-        pr.Hooke = assemble.hooke(W.space("s"), self.mu_s, self.lmbda)
-        pr.EpsF = assemble.eps_eps(W.space("f"), 2.0 * self.mu_f * self.phi0)
+        pr = Primitives(W, self.mu_s, self.lmbda, self.mu_f, self.phi0)
         self.pr = pr
 
         phis, phi0 = self.phis, self.phi0

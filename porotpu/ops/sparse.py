@@ -57,17 +57,37 @@ class ELL:
         n, m = A.shape
         counts = np.diff(A.indptr)
         L = max(int(counts.max()) if n else 1, 1)
-        data = np.zeros((n, L), dtype=np.float64)
-        cols = np.zeros((n, L), dtype=np.int32)
-        # vectorized fill: position of each nnz within its row
-        rows = np.repeat(np.arange(n), counts)
-        pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
-        data[rows, pos] = A.data
-        cols[rows, pos] = A.indices
-        # pad columns with each row's own first column (gather stays local)
-        pad = pos_mask = np.arange(L)[None, :] >= counts[:, None]
-        first_col = cols[:, 0:1]
-        cols = np.where(pad, first_col, cols)
+
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None and A.dtype == np.float64:
+            data = np.empty((n, L), dtype=np.float64)
+            cols = np.empty((n, L), dtype=np.int32)
+            indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+            indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+            adata = np.ascontiguousarray(A.data)
+            lib.csr_to_ell(
+                indptr.ctypes.data,
+                indices.ctypes.data,
+                adata.ctypes.data,
+                n,
+                L,
+                data.ctypes.data,
+                cols.ctypes.data,
+            )
+        else:
+            data = np.zeros((n, L), dtype=np.float64)
+            cols = np.zeros((n, L), dtype=np.int32)
+            # vectorized fill: position of each nnz within its row
+            rows = np.repeat(np.arange(n), counts)
+            pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+            data[rows, pos] = A.data
+            cols[rows, pos] = A.indices
+            # pad columns with each row's own first column (gather stays local)
+            pad = np.arange(L)[None, :] >= counts[:, None]
+            first_col = cols[:, 0:1]
+            cols = np.where(pad, first_col, cols)
         return cls(jnp.asarray(data, dtype=dtype), jnp.asarray(cols), m)
 
     def matvec(self, x: jax.Array) -> jax.Array:
