@@ -35,6 +35,7 @@ def main():
     dtype = jnp.float32
 
     from porotpu.models import benchmarks
+    from porotpu.utils import cache
 
     t0 = time.perf_counter()
     problem = benchmarks.swelling_3d(
@@ -48,9 +49,15 @@ def main():
         },
         dtype=dtype,
     )
-    problem.create_solver()
-    problem.first_timestep = False
-    log(f"setup: {time.perf_counter() - t0:.1f}s, dofs={problem.W.num_dofs}")
+    key = cache.config_key(bench="swelling3d", N=N, schema=1)
+    cpath = f".cache/bench_{key}.pkl"
+    if problem.try_load_solver_cache(cpath):
+        log(f"setup (cached): {time.perf_counter() - t0:.1f}s, dofs={problem.W.num_dofs}")
+    else:
+        problem.create_solver()
+        problem.first_timestep = False
+        problem.save_solver_cache(cpath)
+        log(f"setup: {time.perf_counter() - t0:.1f}s, dofs={problem.W.num_dofs}")
 
     t = problem.t0 + problem.parameters["dt"]
     b = problem.get_rhs(t)

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Robustness-vs-mesh-size sweep (reference paper-scripts/robustness_2d.sh):
+# outer Krylov iterations must stay bounded as N grows, for
+# {swelling, footing} x {2-way, 3-way} x {exact, inexact} inner solves.
+# NOTE: Run from repo root.  Writes iteration logs into output/*.out.
+
+set -u
+DO_EXACT=${DO_EXACT:-true}
+DO_INEXACT=${DO_INEXACT:-true}
+NS_SWELLING=${NS_SWELLING:-"10 20 40 80 160"}
+NS_FOOTING=${NS_FOOTING:-"10 20 40 80"}
+
+OUTDIR=output
+mkdir -p $OUTDIR
+
+run_case () {
+    local DRIVER=$1 N=$2 OPTS=$3 PC=$4 OUT=$5
+    echo "" | tee -a $OUT
+    echo "$DRIVER pc='$PC' N=$N opts=$OPTS" | tee -a $OUT
+    python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" | tee -a $OUT
+}
+
+if [ "$DO_EXACT" = true ]; then
+    for N in $NS_SWELLING; do
+        run_case swelling.py $N petsc-options-exact "diagonal" $OUTDIR/robustness-2d-swelling-2way.out
+        run_case swelling.py $N petsc-options-exact "diagonal 3-way" $OUTDIR/robustness-2d-swelling-3way.out
+    done
+    for N in $NS_FOOTING; do
+        run_case footing.py $N petsc-options-exact "undrained" $OUTDIR/robustness-2d-footing-2way.out
+        run_case footing.py $N petsc-options-exact "undrained 3-way" $OUTDIR/robustness-2d-footing-3way.out
+    done
+fi
+
+if [ "$DO_INEXACT" = true ]; then
+    for N in $NS_SWELLING; do
+        run_case swelling.py $N petsc-options-inexact "diagonal" $OUTDIR/robustness-2d-swelling-2way-inexact.out
+        run_case swelling.py $N petsc-options-inexact "diagonal 3-way" $OUTDIR/robustness-2d-swelling-3way-inexact.out
+    done
+    for N in $NS_FOOTING; do
+        run_case footing.py $N petsc-options-inexact "undrained" $OUTDIR/robustness-2d-footing-2way-inexact.out
+        run_case footing.py $N petsc-options-inexact "undrained 3-way" $OUTDIR/robustness-2d-footing-3way-inexact.out
+    done
+fi

@@ -69,8 +69,9 @@ class Poromechanics(AbstractPhysics):
             )
         )
 
+        # assembly is deferred to first use (create_solver /
+        # _bc_applied_operators) so cached-solver paths skip it entirely
         self.assembler = PoromechanicsAssembler(p, self.W, self.three_way)
-        self.assembler.assemble()
 
         ns, nf, npp = self.W.get_dimensions()
         self.ns, self.nf, self.npp = ns, nf, npp
@@ -171,6 +172,8 @@ class Poromechanics(AbstractPhysics):
 
         Returns (A, P, Pdiff_pp, (bc_dofs, bc_vals)) in padded numbering.
         """
+        if self.assembler.A_blocks is None:
+            self.assembler.assemble()
         W = self.W
         order = list(FIELDS)
         sizes = [W.field(k).size for k in order]
@@ -278,11 +281,26 @@ class Poromechanics(AbstractPhysics):
 
         if self.two_way:
             cfg_fp = self._inner_cfg("fp")
-            if cfg_fp.method == "lu":
+            fp_size = nf_p + np_p
+            if cfg_fp.method == "lu" and fp_size <= cfg_fp.lu_max_size:
                 # exact operating point: single LU of the whole fp block
                 # (petsc-options-exact:31-35)
                 P_fpfp = P[ns_p:, ns_p:].tocsr()
                 solve_fp = build_inner_solver(P_fpfp, cfg_fp, dtype=dtype)
+            elif cfg_fp.method == "lu":
+                # fp block too large for dense LU: Schur fieldsplit with
+                # per-block solves (saddle structure rules out the generic
+                # CG fallback) — documented MUMPS substitution, SURVEY §2.3
+                solve_fp = build_schur_fieldsplit(
+                    P_ff,
+                    P[sl["f"], sl["p"]].tocsr(),
+                    P[sl["p"], sl["f"]].tocsr(),
+                    P_pp,
+                    InnerConfig(method="cg+amg", iters=20),
+                    InnerConfig(method="lu"),
+                    dofs_per_node_f=dim,
+                    dtype=dtype,
+                )
             else:
                 # inexact: Schur fieldsplit lower + selfp
                 # (petsc-options-inexact:71-114)
@@ -347,6 +365,45 @@ class Poromechanics(AbstractPhysics):
         else:
             self.H_dev = None
 
+        self._finalize_solver()
+        parprint(
+            "---- [Solver] Solver created in {}s".format(_time.perf_counter() - t0)
+        )
+
+    # ------------------------------------------------------------------
+    def solver_state(self):
+        """The device operator pytrees (for porotpu.utils.cache)."""
+        return {
+            "A_dev": self.A_dev,
+            "pc": self.pc,
+            "H_dev": self.H_dev,
+            "bc_dofs": self.bc_dofs,
+            "bc_vals": self.bc_vals,
+        }
+
+    def save_solver_cache(self, path: str):
+        from ..utils import cache
+
+        cache.save(path, self.solver_state())
+
+    def try_load_solver_cache(self, path: str) -> bool:
+        """Restore device operators from a cache file, skipping all host
+        setup; returns True on success."""
+        from ..utils import cache
+
+        st = cache.load(path)
+        if st is None:
+            return False
+        self.A_dev = st["A_dev"]
+        self.pc = st["pc"]
+        self.H_dev = st["H_dev"]
+        self.bc_dofs = st["bc_dofs"]
+        self.bc_vals = st["bc_vals"]
+        self._finalize_solver()
+        self.first_timestep = False
+        return True
+
+    def _finalize_solver(self):
         p = self.parameters
         solver_type = p.get("solver type", "gmres")
         rtol = float(p.get("solver rtol", 1e-6))
@@ -414,10 +471,6 @@ class Poromechanics(AbstractPhysics):
                 return jnp.concatenate([rs, rf, rp])
 
             self._jit_rhs_hist = jax.jit(_rhs_hist)
-
-        parprint(
-            "---- [Solver] Solver created in {}s".format(_time.perf_counter() - t0)
-        )
 
     # ------------------------------------------------------------------
     def get_rhs(self, t):

@@ -63,6 +63,19 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.csr_to_ell_f32.restype = None
+        lib.csr_to_ell_f32.argtypes = lib.csr_to_ell.argtypes
+        lib.collapse_node_graph.restype = None
+        lib.collapse_node_graph.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None

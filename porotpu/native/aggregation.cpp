@@ -77,4 +77,42 @@ void csr_to_ell(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// Same, emitting float32 directly (skips the f64 intermediate + cast).
+void csr_to_ell_f32(const int64_t* indptr, const int32_t* indices,
+                    const double* data, int64_t n, int64_t L, float* data_out,
+                    int32_t* cols_out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t start = indptr[i], len = indptr[i + 1] - indptr[i];
+    int32_t first = len > 0 ? indices[start] : 0;
+    for (int64_t l = 0; l < L; ++l) {
+      if (l < len) {
+        data_out[i * L + l] = static_cast<float>(data[start + l]);
+        cols_out[i * L + l] = indices[start + l];
+      } else {
+        data_out[i * L + l] = 0.0f;
+        cols_out[i * L + l] = first;
+      }
+    }
+  }
+}
+
+// Collapse a dof CSR matrix (d dofs per node) into a node graph:
+// out_{IJ} = sum over block |a_ij|.  Replaces the Q^T |A| Q spgemm pair
+// (porotpu/precond/amg.py _node_graph) with one linear pass.
+// Emits COO (node_rows, node_cols, vals) of length nnz(A); caller
+// deduplicates via scipy coo->csr.
+void collapse_node_graph(const int64_t* indptr, const int32_t* indices,
+                         const double* data, int64_t n, int64_t d,
+                         int32_t* out_rows, int32_t* out_cols,
+                         double* out_vals) {
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t bi = static_cast<int32_t>(i / d);
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      out_rows[k] = bi;
+      out_cols[k] = indices[k] / d;
+      out_vals[k] = data[k] < 0 ? -data[k] : data[k];
+    }
+  }
+}
+
 }  // extern "C"

@@ -62,12 +62,14 @@ class ELL:
 
         lib = get_lib()
         if lib is not None and A.dtype == np.float64:
-            data = np.empty((n, L), dtype=np.float64)
+            emit_f32 = dtype == jnp.float32
+            data = np.empty((n, L), dtype=np.float32 if emit_f32 else np.float64)
             cols = np.empty((n, L), dtype=np.int32)
             indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
             indices = np.ascontiguousarray(A.indices, dtype=np.int32)
             adata = np.ascontiguousarray(A.data)
-            lib.csr_to_ell(
+            fill = lib.csr_to_ell_f32 if emit_f32 else lib.csr_to_ell
+            fill(
                 indptr.ctypes.data,
                 indices.ctypes.data,
                 adata.ctypes.data,

@@ -33,15 +33,43 @@ from ..ops.sparse import ELL
 
 
 def _node_graph(A: sp.csr_matrix, d: int) -> sp.csr_matrix:
-    """Collapse a dof matrix with d dofs/node into a node connectivity graph."""
+    """Collapse a dof matrix with d dofs/node into a node connectivity graph.
+
+    Native linear pass (collapse_node_graph) when available; spgemm pair
+    Q^T |A| Q as fallback.
+    """
     n = A.shape[0]
     if d == 1:
         return abs(A).tocsr()
     nn = n // d
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and A.dtype == np.float64:
+        nnz = A.nnz
+        rows = np.empty(nnz, dtype=np.int32)
+        cols = np.empty(nnz, dtype=np.int32)
+        vals = np.empty(nnz, dtype=np.float64)
+        indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+        data = np.ascontiguousarray(A.data)
+        lib.collapse_node_graph(
+            indptr.ctypes.data,
+            indices.ctypes.data,
+            data.ctypes.data,
+            n,
+            d,
+            rows.ctypes.data,
+            cols.ctypes.data,
+            vals.ctypes.data,
+        )
+        C = sp.coo_matrix((vals, (rows, cols)), shape=(nn, nn)).tocsr()
+        C.sum_duplicates()
+        return C
+
     rows = np.repeat(np.arange(nn), d)
-    Q = sp.csr_matrix(
-        (np.ones(n), (np.arange(n), rows)), shape=(n, nn)
-    )
+    Q = sp.csr_matrix((np.ones(n), (np.arange(n), rows)), shape=(n, nn))
     return (Q.T @ abs(A) @ Q).tocsr()
 
 
