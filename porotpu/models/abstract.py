@@ -36,14 +36,20 @@ class AbstractPhysics:
         self._exporter = None
 
     def export(self, t):
-        """Export current solution snapshot (XDMF time series like the
-        reference lib/AbstractPhysics.py:47-57); lazy-opens the file."""
+        """Export current solution snapshot as an XDMF/HDF5 time series
+        (the reference's format, lib/AbstractPhysics.py:47-57) or VTU/PVD
+        via ``parameters["output format"] = "vtu"``; lazy-opens the file."""
         if self._exporter is None:
-            from ..utils.io import TimeSeriesWriter
+            fmt = self.parameters.get("output format", "xdmf")
+            base = "output/{}".format(self.output_name)
+            if fmt == "vtu":
+                from ..utils.io import TimeSeriesWriter
 
-            self._exporter = TimeSeriesWriter(
-                "output/{}".format(self.output_name), self.mesh
-            )
+                self._exporter = TimeSeriesWriter(base, self.mesh)
+            else:
+                from ..utils.io import XDMFWriter
+
+                self._exporter = XDMFWriter(base, self.mesh)
         self._exporter.write(t, self.solution_fields())
 
     def solution_fields(self) -> dict:  # pragma: no cover - interface

@@ -95,6 +95,86 @@ class TimeSeriesWriter:
             f.write("</Collection>\n</VTKFile>\n")
 
 
+class XDMFWriter:
+    """XDMF + HDF5 time-series export (the reference's output format,
+    lib/AbstractPhysics.py:34-38: functions_share_mesh, flush_output,
+    rewrite_function_mesh=False -> mesh written once, fields per step)."""
+
+    def __init__(self, basename: str, mesh):
+        import h5py
+
+        self.basename = basename
+        self.mesh = mesh
+        self.steps = []
+        os.makedirs(os.path.dirname(basename) or ".", exist_ok=True)
+        self.h5path = basename + ".h5"
+        self.h5 = h5py.File(self.h5path, "w")
+        self.h5.create_dataset("mesh/vertices", data=mesh.vertices)
+        self.h5.create_dataset("mesh/cells", data=mesh.cells.astype(np.int64))
+
+    def write(self, t: float, fields: dict):
+        gid = f"step_{len(self.steps):06d}"
+        g = self.h5.create_group(gid)
+        mesh = self.mesh
+        nv = mesh.num_vertices
+        dim = mesh.dim
+        names = []
+        for name, vec in fields.items():
+            vec = np.asarray(vec)
+            safe = name.replace(" ", "_")
+            if vec.size % dim == 0 and vec.size // dim >= nv and vec.size != nv:
+                data = vec.reshape(-1, dim)[:nv]  # vertex values of vector
+            else:
+                data = vec[:nv]
+            g.create_dataset(safe, data=data)
+            names.append((safe, data.ndim))
+        self.h5.flush()
+        self.steps.append((t, gid, names))
+        self._write_xdmf()
+
+    def _write_xdmf(self):
+        mesh = self.mesh
+        dim = mesh.dim
+        topo = "Triangle" if dim == 2 else "Tetrahedron"
+        h5 = os.path.basename(self.h5path)
+        nv, nc = mesh.num_vertices, mesh.num_cells
+        npc = mesh.cells.shape[1]
+        with open(self.basename + ".xdmf", "w") as f:
+            f.write('<?xml version="1.0"?>\n<Xdmf Version="3.0">\n<Domain>\n')
+            f.write(
+                '<Grid Name="TimeSeries" GridType="Collection" '
+                'CollectionType="Temporal">\n'
+            )
+            for t, gid, names in self.steps:
+                f.write(f'<Grid Name="{gid}" GridType="Uniform">\n')
+                f.write(f'<Time Value="{t}"/>\n')
+                f.write(
+                    f'<Topology TopologyType="{topo}" NumberOfElements="{nc}">\n'
+                    f'<DataItem Dimensions="{nc} {npc}" Format="HDF">'
+                    f"{h5}:/mesh/cells</DataItem>\n</Topology>\n"
+                )
+                geom = "XY" if dim == 2 else "XYZ"
+                f.write(
+                    f'<Geometry GeometryType="{geom}">\n'
+                    f'<DataItem Dimensions="{nv} {dim}" Format="HDF">'
+                    f"{h5}:/mesh/vertices</DataItem>\n</Geometry>\n"
+                )
+                for safe, ndim_ in names:
+                    att = "Vector" if ndim_ == 2 else "Scalar"
+                    dims = f"{nv} {dim}" if ndim_ == 2 else f"{nv}"
+                    f.write(
+                        f'<Attribute Name="{safe}" AttributeType="{att}" '
+                        f'Center="Node">\n<DataItem Dimensions="{dims}" '
+                        f'Format="HDF">{h5}:/{gid}/{safe}</DataItem>\n'
+                        "</Attribute>\n"
+                    )
+                f.write("</Grid>\n")
+            f.write("</Grid>\n</Domain>\n</Xdmf>\n")
+
+    def close(self):
+        self.h5.close()
+
+
 def save_checkpoint(path: str, problem, t: float):
     """Dump time-stepping state for resume (SURVEY.md §5 checkpoint gap)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
