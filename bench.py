@@ -31,13 +31,15 @@ def log(*a):
 
 
 def main():
-    N = int(os.environ.get("BENCH_N", "12"))
+    N = int(os.environ.get("BENCH_N", "10"))
     dtype = jnp.float32
 
     from porotpu.models import benchmarks
     from porotpu.utils import cache
 
     t0 = time.perf_counter()
+    key = cache.config_key(bench="swelling3d", N=N, schema=2)
+    cpath = f".cache/bench_{key}.pkl"
     problem = benchmarks.swelling_3d(
         Nelements=N,
         overrides={
@@ -46,17 +48,15 @@ def main():
             "solver rtol": 1e-6,
             "solver atol": 1e-8,
             "solver maxiter": 100,
+            "solver cache path": cpath,  # saved during create_solver (CPU-staged)
         },
         dtype=dtype,
     )
-    key = cache.config_key(bench="swelling3d", N=N, schema=1)
-    cpath = f".cache/bench_{key}.pkl"
     if problem.try_load_solver_cache(cpath):
         log(f"setup (cached): {time.perf_counter() - t0:.1f}s, dofs={problem.W.num_dofs}")
     else:
         problem.create_solver()
         problem.first_timestep = False
-        problem.save_solver_cache(cpath)
         log(f"setup: {time.perf_counter() - t0:.1f}s, dofs={problem.W.num_dofs}")
 
     t = problem.t0 + problem.parameters["dt"]

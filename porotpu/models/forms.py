@@ -381,26 +381,47 @@ class PoromechanicsAssembler:
                 )
         return b
 
-    def history_matrices(self):
-        """Matrices applied to history fields in the full-residual RHS.
+    def history_terms(self):
+        """History-field RHS contributions in factored form.
 
         r_s += rhos idt^2 phis Mv (2 us1 - us2) + phi0^2 ikf idt Mv us1
         r_f += rhof idt phi0 Mv uf1 - phi0^2 ikf idt Mfs us1
         r_p += phis idt D_s us1 + phis^2/(ks dt) Mp p1
         (derived from lib/Assembler.py:245-264 with r = rhs - lhs)
-        Returns dict of csr matrices keyed by (field, history-field).
+
+        Every matrix is a *scalar multiple* of a shared primitive, so the
+        return value is (ops, terms): ``ops`` maps name -> csr matrix
+        (deduplicated — typically just Mv, D_s, Mp), and ``terms`` maps
+        (field, history_field) -> (op_name, scalar).  This keeps the
+        device footprint to three SpMV operands instead of six.
         """
-        pr = self.pr
+        return self.history_ops(), self.history_term_spec()
+
+    def history_term_spec(self):
+        """(field, history_field) -> (op_name, scalar); no assembly."""
         phis, phi0 = self.phis, self.phi0
         idt, ikf, ks = self.idt, self.ikf, self.ks
+        same = (
+            self.W.space("s").degree == self.W.space("f").degree
+        )
+        mv_f = "Mv_s" if same else "Mv_f"
+        mfs = "Mv_s" if same else "Mfs"
         return {
-            ("s", "us1"): (
-                2.0 * self.rhos * idt**2 * phis * pr.Mv_s
-                + phi0**2 * ikf * idt * pr.Mv_s
-            ).tocsr(),
-            ("s", "us2"): (-self.rhos * idt**2 * phis * pr.Mv_s).tocsr(),
-            ("f", "uf1"): (self.rhof * idt * phi0 * pr.Mv_f).tocsr(),
-            ("f", "us1"): (-(phi0**2) * ikf * idt * pr.Mfs).tocsr(),
-            ("p", "us1"): (phis * idt * pr.D_s).tocsr(),
-            ("p", "p1"): (phis**2 * idt / ks * pr.Mp).tocsr(),
+            ("s", "us1"): ("Mv_s", 2.0 * self.rhos * idt**2 * phis
+                           + phi0**2 * ikf * idt),
+            ("s", "us2"): ("Mv_s", -self.rhos * idt**2 * phis),
+            ("f", "uf1"): (mv_f, self.rhof * idt * phi0),
+            ("f", "us1"): (mfs, -(phi0**2) * ikf * idt),
+            ("p", "us1"): ("D_s", phis * idt),
+            ("p", "p1"): ("Mp", phis**2 * idt / ks),
         }
+
+    def history_ops(self):
+        """name -> csr matrix for the ops referenced by history_term_spec."""
+        pr = self.pr
+        ops = {"Mv_s": pr.Mv_s, "D_s": pr.D_s, "Mp": pr.Mp}
+        if pr.Mv_f is not pr.Mv_s:
+            ops["Mv_f"] = pr.Mv_f
+        if pr.Mfs is not pr.Mv_s:
+            ops["Mfs"] = pr.Mfs
+        return ops

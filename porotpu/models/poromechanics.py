@@ -244,8 +244,46 @@ class Poromechanics(AbstractPhysics):
         return B * mask[:, None]
 
     def create_solver(self):
-        """Build device operators, block PC and the jitted outer solver."""
+        """Build device operators, block PC and the jitted outer solver.
+
+        Operator construction is staged on the **CPU backend** (host RAM)
+        so that (a) the optional solver cache pickles without any
+        device->host readback over a slow interconnect, and (b) the upload
+        to the accelerator happens as one bulk device_put at the end.
+        """
         t0 = _time.perf_counter()
+        stage_cpu = bool(self.parameters.get("stage setup on cpu", True))
+        cpu = None
+        if stage_cpu:
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+                target = jax.devices()[0]
+                stage_cpu = cpu != target
+            except Exception:
+                stage_cpu = False
+        if stage_cpu:
+            with jax.default_device(cpu):
+                self._build_operators()
+            cpath = self.parameters.get("solver cache path")
+            if cpath:
+                self.save_solver_cache(cpath)
+            state = jax.device_put(self.solver_state(), target)
+            self.A_dev = state["A_dev"]
+            self.pc = state["pc"]
+            self.H_dev = state["H_dev"]
+            self.bc_dofs = state["bc_dofs"]
+            self.bc_vals = state["bc_vals"]
+        else:
+            self._build_operators()
+            cpath = self.parameters.get("solver cache path")
+            if cpath:
+                self.save_solver_cache(cpath)
+        self._finalize_solver()
+        parprint(
+            "---- [Solver] Solver created in {}s".format(_time.perf_counter() - t0)
+        )
+
+    def _build_operators(self):
         W = self.W
         ns_p, nf_p, np_p = self.padded_sizes
         dtype = self.dtype
@@ -353,22 +391,25 @@ class Poromechanics(AbstractPhysics):
                 w2=float(self.parameters.get("w2", 0.1)),
             )
 
-        # history matrices for the full-residual RHS (padded rectangular)
+        # history operators for the full-residual RHS: shared primitives +
+        # scalar factors (device footprint = 3 ELLs, not 6)
         if self.assembler.rhs_mode == "full-residual":
-            H = self.assembler.history_matrices()
-            pads = {"s": ns_p, "f": nf_p, "p": np_p}
-            hsz = {"us1": ns_p, "us2": ns_p, "uf1": nf_p, "p1": np_p}
-            self.H_dev = {
-                k: ELL.from_csr(self._pad_rect(v, pads[k[0]], hsz[k[1]]), dtype)
-                for k, v in H.items()
+            ops = self.assembler.history_ops()
+            shapes = {
+                "Mv_s": (ns_p, ns_p),
+                "Mv_f": (nf_p, nf_p),
+                "Mfs": (nf_p, ns_p),
+                "D_s": (np_p, ns_p),
+                "Mp": (np_p, np_p),
             }
+            self.H_dev = {
+                k: ELL.from_csr(self._pad_rect(v, *shapes[k]), dtype)
+                for k, v in ops.items()
+            }
+            self._hist_terms = self.assembler.history_term_spec()
         else:
             self.H_dev = None
-
-        self._finalize_solver()
-        parprint(
-            "---- [Solver] Solver created in {}s".format(_time.perf_counter() - t0)
-        )
+            self._hist_terms = None
 
     # ------------------------------------------------------------------
     def solver_state(self):
@@ -399,6 +440,10 @@ class Poromechanics(AbstractPhysics):
         self.H_dev = st["H_dev"]
         self.bc_dofs = st["bc_dofs"]
         self.bc_vals = st["bc_vals"]
+        # term spec derives from parameters only (no assembly)
+        self._hist_terms = (
+            self.assembler.history_term_spec() if self.H_dev is not None else None
+        )
         self._finalize_solver()
         self.first_timestep = False
         return True
@@ -461,14 +506,17 @@ class Poromechanics(AbstractPhysics):
         self._solve_fn = _solve  # unjitted (for external jit/sharding wrappers)
         self._jit_solve = jax.jit(_solve)
 
-        # jitted RHS history application
+        # jitted RHS history application (factored: shared ops x scalars)
         if self.H_dev is not None:
+            terms = self._hist_terms
 
-            def _rhs_hist(H_dev, us1, us2, uf1, p1):
-                rs = H_dev["s", "us1"].matvec(us1) + H_dev["s", "us2"].matvec(us2)
-                rf = H_dev["f", "uf1"].matvec(uf1) + H_dev["f", "us1"].matvec(us1)
-                rp = H_dev["p", "us1"].matvec(us1) + H_dev["p", "p1"].matvec(p1)
-                return jnp.concatenate([rs, rf, rp])
+            def _rhs_hist(H, us1, us2, uf1, p1):
+                vecs = {"us1": us1, "us2": us2, "uf1": uf1, "p1": p1}
+                parts = {}
+                for (field, hv), (op, c) in terms.items():
+                    contrib = c * H[op].matvec(vecs[hv])
+                    parts[field] = parts.get(field, 0.0) + contrib
+                return jnp.concatenate([parts["s"], parts["f"], parts["p"]])
 
             self._jit_rhs_hist = jax.jit(_rhs_hist)
 
@@ -507,6 +555,19 @@ class Poromechanics(AbstractPhysics):
         its = int(res.iters)
         self.iteration_log.append(its)
         self.last_result = res
+        if self.parameters.get("solver monitor", False):
+            # per-iteration residual monitor (reference lib/Solver.py:34-41
+            # prints live from the C callback; under jit the history is
+            # recorded on device and printed after the solve)
+            hist = np.asarray(res.history)
+            hist = hist[~np.isnan(hist)]
+            for k, r in enumerate(hist):
+                parprint("KSP it {}:   {:.5e}".format(k, float(r)))
+            parprint(
+                "---- [Solver] {}".format(
+                    "Converged" if bool(res.converged) else "NOT converged"
+                )
+            )
         return its
 
     def solution_fields(self):
