@@ -476,6 +476,7 @@ class Poromechanics(AbstractPhysics):
                     rtol=rtol,
                     atol=atol,
                     maxiter=maxiter,
+                    pc_accel_order=int(p.get("inner accel order", 0)),
                 )
             if solver_type == "cg":
                 return cg(

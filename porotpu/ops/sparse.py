@@ -95,6 +95,12 @@ class ELL:
     def matvec(self, x: jax.Array) -> jax.Array:
         return ell_matvec(self.data, self.cols, x)
 
+    def rmatvec(self, x: jax.Array) -> jax.Array:
+        """A^T @ x (scatter-add; see ops.spmv.ell_rmatvec)."""
+        from .spmv import ell_rmatvec
+
+        return ell_rmatvec(self.data, self.cols, x, self.ncols)
+
     def __matmul__(self, x):
         return self.matvec(x)
 

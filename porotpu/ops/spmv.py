@@ -26,3 +26,20 @@ def ell_matmat(data: jax.Array, cols: jax.Array, X: jax.Array) -> jax.Array:
     Used by blocked solvers and Anderson history updates.
     """
     return jnp.einsum("nl,nlk->nk", data, X[cols])
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("ncols",))
+def ell_rmatvec(data: jax.Array, cols: jax.Array, x: jax.Array, ncols: int):
+    """y = A^T @ x via scatter-add on the ELL arrays of A.
+
+    Lets transposed operators (AMG restriction R = P^T) reuse the
+    prolongator's storage instead of a second padded ELL whose max-row
+    padding blows up on long coarse rows.
+    """
+    contrib = data * x[:, None]
+    return jnp.zeros(ncols, dtype=data.dtype).at[cols.ravel()].add(
+        contrib.ravel()
+    )

@@ -85,7 +85,6 @@ def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
             AMGLevel(
                 shard_ell(lvl.A, mesh),
                 shard_ell(lvl.P, mesh),
-                shard_ell(lvl.R, mesh),
                 shard_vector(lvl.dinv, mesh),
                 lvl.lmax,
             )

@@ -194,13 +194,12 @@ class AMGLevelHost:
 @dataclass
 class AMGLevel:
     A: ELL
-    P: ELL
-    R: ELL
+    P: ELL  # prolongator; restriction applied as P^T via scatter-add
     dinv: jax.Array
     lmax: float  # static
 
     def tree_flatten(self):
-        return (self.A, self.P, self.R, self.dinv), (self.lmax,)
+        return (self.A, self.P, self.dinv), (self.lmax,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -256,7 +255,7 @@ class AMG:
         lvl = self.levels[li]
         x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth)
         r = b - lvl.A.matvec(x)
-        bc = lvl.R.matvec(r)
+        bc = lvl.P.rmatvec(r)  # restriction = P^T r
         xc = self._cycle(li + 1, bc)
         x = x + lvl.P.matvec(xc)
         x = self._smooth(lvl, b, x, self.postsmooth)
@@ -272,12 +271,15 @@ def amg_setup(
     B: np.ndarray | None = None,
     theta: float = 0.08,
     max_levels: int = 10,
-    coarse_size: int = 600,
+    coarse_size: int = 2000,
     presmooth: int = 1,
     postsmooth: int = 1,
     dtype=jnp.float32,
 ) -> AMG:
     """Build a smoothed-aggregation AMG hierarchy for SPD-ish A.
+
+    Restriction is applied matrix-free as P^T (scatter-add), halving the
+    device footprint; the coarsest level is a dense LU solve.
 
     ``B``: near-nullspace (n, k); defaults to constants per component.
     ``dofs_per_node``: node-block size (geometric dim for vector fields).
@@ -307,13 +309,11 @@ def amg_setup(
         # P = (I - 4/(3 lmax) D^-1 A) T
         Dinv = sp.diags(dinv)
         P = (T - (4.0 / (3.0 * lmax)) * (Dinv @ (A @ T))).tocsr()
-        R = P.T.tocsr()
-        Ac = (R @ (A @ P)).tocsr()
+        Ac = (P.T.tocsr() @ (A @ P)).tocsr()
         levels.append(
             AMGLevel(
                 ELL.from_csr(A, dtype),
                 ELL.from_csr(P, dtype),
-                ELL.from_csr(R, dtype),
                 jnp.asarray(dinv, dtype=dtype),
                 lmax,
             )

@@ -160,22 +160,22 @@ def build_inner_solver(
             {"lu": jnp.asarray(lu, dtype=dtype), "piv": jnp.asarray(piv, jnp.int32)},
         )
 
-    E = ELL.from_csr(A, dtype)
-
     if method == "chebyshev":
         from .amg import _power_lmax
 
         lmax = _power_lmax(A, np.asarray(1.0 / diag))
         return InnerSolver(
             "chebyshev",
-            {"A": E, "dinv": dinv},
+            {"A": ELL.from_csr(A, dtype), "dinv": dinv},
             iters=cfg.iters,
             lmax=lmax,
             cheb_frac=cfg.cheb_frac,
         )
 
     if method == "cg":
-        return InnerSolver("cg", {"A": E, "dinv": dinv}, iters=cfg.iters)
+        return InnerSolver(
+            "cg", {"A": ELL.from_csr(A, dtype), "dinv": dinv}, iters=cfg.iters
+        )
 
     if method in ("amg", "cg+amg"):
         amg = amg_setup(
@@ -188,8 +188,11 @@ def build_inner_solver(
             postsmooth=cfg.amg_postsmooth,
             dtype=dtype,
         )
+        # reuse the hierarchy's fine-level operator instead of a second
+        # device copy of the same ELL (halves the per-block footprint)
+        Eop = amg.levels[0].A if amg.levels else ELL.from_csr(A, dtype)
         if method == "amg":
-            return InnerSolver("amg", {"amg": amg, "A": E}, iters=max(cfg.sweeps, 1))
-        return InnerSolver("cg+amg", {"amg": amg, "A": E}, iters=cfg.iters)
+            return InnerSolver("amg", {"amg": amg, "A": Eop}, iters=max(cfg.sweeps, 1))
+        return InnerSolver("cg+amg", {"amg": amg, "A": Eop}, iters=cfg.iters)
 
     raise ValueError(f"unknown inner method {cfg.method}")

@@ -15,6 +15,11 @@ TPU-native deviations (SURVEY.md §2.5 + §7.5):
 - history pairs (dx_j, df_j) are kept aligned (the reference's X window
   trails its F window by one entry — an indexing artifact of its list
   zipping); this is the standard AAR formulation.
+
+``pc_accel_order`` > 0 additionally wraps the preconditioner output in
+Anderson acceleration across iterations — the reference's "inner accel
+order" feature (lib/Preconditioner.py:28,248-249) — with the accelerator
+state threaded through the loop carry (functional, jit-safe).
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .anderson import gram_ls_alpha
+from .anderson import AndersonAccelerator, gram_ls_alpha
 from .result import SolveResult
 
 
@@ -38,6 +43,7 @@ def aar(
     rtol: float = 1e-8,
     atol: float = 1e-12,
     maxiter: int = 1000,
+    pc_accel_order: int = 0,
 ):
     """Solve A x = b with the preconditioned AAR method.
 
@@ -52,6 +58,9 @@ def aar(
         M = lambda r: r
     m = max(order, 1)
 
+    acc = AndersonAccelerator(pc_accel_order) if pc_accel_order > 0 else None
+    acc_state0 = acc.init(n, dtype=dt) if acc else jnp.zeros((), dtype=dt)
+
     f_unprec = b - A(x0)
     error0 = jnp.linalg.norm(f_unprec)
     error0 = jnp.where(error0 > 0, error0, 1.0)
@@ -62,12 +71,15 @@ def aar(
     history = history.at[0].set(error0.astype(jnp.float32))
 
     def cond(c):
-        X, F, xk, fk, prev_dx, nh, it, err_abs, err_rel, hist = c
+        X, F, xk, fk, prev_dx, nh, it, err_abs, err_rel, hist, ast = c
         return (err_abs > atol) & (err_rel > rtol) & (it < maxiter)
 
     def body(c):
-        X, F, xk, fk_old, prev_dx, nh, it, _, _, hist = c
-        fk = M(b - A(xk))
+        X, F, xk, fk_old, prev_dx, nh, it, _, _, hist, ast = c
+        g = M(b - A(xk))
+        if acc is not None:
+            ast, g = acc.step(ast, g)
+        fk = g
 
         push = it > 0
         df = fk - fk_old
@@ -92,7 +104,7 @@ def aar(
         err_abs = fnorm
         err_rel = err_abs / error0
         hist = hist.at[it + 1].set(err_abs.astype(jnp.float32))
-        return (X2, F2, x2, fk, x2 - xk, nh2, it + 1, err_abs, err_rel, hist)
+        return (X2, F2, x2, fk, x2 - xk, nh2, it + 1, err_abs, err_rel, hist, ast)
 
     init = (
         X0,
@@ -105,9 +117,10 @@ def aar(
         error0,
         jnp.array(1.0, dtype=error0.dtype),
         history,
+        acc_state0,
     )
-    X, F, xk, fk, prev_dx, nh, it, err_abs, err_rel, history = jax.lax.while_loop(
-        cond, body, init
+    (X, F, xk, fk, prev_dx, nh, it, err_abs, err_rel, history, ast) = (
+        jax.lax.while_loop(cond, body, init)
     )
     converged = (err_abs <= atol) | (err_rel <= rtol)
     return SolveResult(xk, it, err_abs, converged, history)
