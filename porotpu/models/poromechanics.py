@@ -454,6 +454,19 @@ class Poromechanics(AbstractPhysics):
         rtol = float(p.get("solver rtol", 1e-6))
         atol = float(p.get("solver atol", 1e-8))
         maxiter = int(p.get("solver maxiter", 500))
+        # global_ prefix overrides from the options DB
+        # (reference: lib/Solver.py:101 setFromOptions with prefix "global_")
+        odb = p.get("options db")
+        if odb is not None:
+            g = odb.prefix_items("global")
+            if g.get("ksp_type"):
+                solver_type = g["ksp_type"]
+            if g.get("ksp_rtol"):
+                rtol = float(g["ksp_rtol"])
+            if g.get("ksp_atol"):
+                atol = float(g["ksp_atol"])
+            if g.get("ksp_max_it"):
+                maxiter = int(g["ksp_max_it"])
         use_fieldwise = bool(p.get("fieldwise convergence", True))
         sizes = self.padded_sizes
 
