@@ -293,13 +293,28 @@ class Poromechanics(AbstractPhysics):
         self.bc_dofs = jnp.asarray(bc_dofs)
         self.bc_vals = jnp.asarray(bc_vals, dtype=dtype)
 
-        self.A_dev = ELL.from_csr(A, dtype)
-
         sl = {
             "s": slice(0, ns_p),
             "f": slice(ns_p, ns_p + nf_p),
             "p": slice(ns_p + nf_p, self.n_pad),
         }
+
+        # outer operator as per-field blocks: ELL row padding is driven by
+        # the max row length, so 9 tight blocks cost far less memory and
+        # bandwidth than one monolithic ELL whose every row pads to the
+        # widest (solid) row
+        a_blocks = {}
+        for rf in FIELDS:
+            for cf in FIELDS:
+                blk = A[sl[rf], sl[cf]].tocsr()
+                blk.eliminate_zeros()
+                if blk.nnz:
+                    a_blocks[(rf, cf)] = ELL.from_csr(blk, dtype)
+        from ..ops.sparse import FieldMatrix
+
+        self.A_dev = FieldMatrix(
+            a_blocks, {"s": ns_p, "f": nf_p, "p": np_p}
+        )
         P_ss = P[sl["s"], sl["s"]].tocsr()
         P_ff = P[sl["f"], sl["f"]].tocsr()
         P_pp = P[sl["p"], sl["p"]].tocsr()

@@ -54,6 +54,8 @@ class ELL:
     def from_csr(cls, A: sp.spmatrix, dtype=jnp.float32) -> "ELL":
         A = A.tocsr()
         A.sum_duplicates()
+        A.eliminate_zeros()  # BC row surgery leaves stored zeros; padding
+        # is driven by max row nnz, so drop them
         n, m = A.shape
         counts = np.diff(A.indptr)
         L = max(int(counts.max()) if n else 1, 1)

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.sparse import ELL
+from ..ops.sparse import ELL, FieldMatrix
 from ..precond.amg import AMG, AMGLevel
 from ..precond.block import BlockPreconditioner
 from ..precond.inner import InnerSolver
@@ -102,6 +102,10 @@ def shard_operator(op, mesh: Mesh):
     """Shard any solver-side operator pytree for mesh execution."""
     if isinstance(op, ELL):
         return shard_ell(op, mesh)
+    if isinstance(op, FieldMatrix):
+        return FieldMatrix(
+            {k: shard_ell(v, mesh) for k, v in op.blocks.items()}, op.sizes
+        )
     if isinstance(op, InnerSolver):
         return _shard_inner(op, mesh)
     if isinstance(op, SchurFieldsplit):

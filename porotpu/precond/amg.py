@@ -294,13 +294,26 @@ def amg_setup(
             B[c::d, c] = 1.0
 
     levels = []
+    max_dense = max(coarse_size * 4, 6000)
     while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
         C = _node_graph(A, d)
         S = _strength(C, theta)
         agg = _aggregate(S)
         na = int(agg.max()) + 1
-        if na * B.shape[1] >= A.shape[0]:
-            break  # aggregation stalled
+        # coarsening stall guard: mass-dominated blocks (e.g. the fluid
+        # Darcy-drag block) produce near-empty strength graphs whose
+        # singleton aggregates would generate a chain of near-dense coarse
+        # operators; stop and solve the current level directly instead
+        if na * B.shape[1] >= A.shape[0] or na > 0.7 * C.shape[0]:
+            if A.shape[0] > max_dense:
+                # one retry with a looser strength threshold
+                S = _strength(C, theta / 4.0)
+                agg = _aggregate(S)
+                na = int(agg.max()) + 1
+                if na * B.shape[1] >= A.shape[0] or na > 0.7 * C.shape[0]:
+                    break
+            else:
+                break
         T, Bc = _tentative_prolongator(agg, d, B)
         diag = np.asarray(A.diagonal())
         diag[diag == 0] = 1.0

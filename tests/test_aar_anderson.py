@@ -90,3 +90,27 @@ def test_anderson_order0_passthrough():
     g = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     st, x = acc.step(st, g)
     assert np.allclose(np.asarray(x), np.asarray(g))
+
+
+def test_aar_pc_accel_order():
+    # reference "inner accel order" (lib/Preconditioner.py:248-249) on the
+    # AAR path: accelerated-PC run must still converge to the solution
+    A = _spd(80, seed=6)
+    b = np.random.default_rng(7).normal(size=80)
+    E = ELL.from_csr(A, jnp.float64)
+    dinv = jnp.asarray(1.0 / A.diagonal())
+    res = aar(
+        E.matvec,
+        jnp.asarray(b),
+        M=lambda r: dinv * r,
+        order=8,
+        p=4,
+        omega=0.5,
+        rtol=1e-9,
+        atol=0.0,
+        maxiter=2000,
+        pc_accel_order=1,
+    )
+    assert bool(res.converged)
+    xref = spla.spsolve(A.tocsc(), b)
+    assert np.linalg.norm(np.asarray(res.x) - xref) / np.linalg.norm(xref) < 1e-6

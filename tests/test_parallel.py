@@ -53,7 +53,7 @@ def _sharded_vs_single(overrides, N=6, builder=benchmarks.swelling):
     b2 = prob2.get_rhs(t)
     mesh = solver_mesh(8)
     res2 = prob2._jit_solve(
-        shard_ell(prob2.A_dev, mesh),
+        shard_operator(prob2.A_dev, mesh),
         shard_operator(prob2.pc, mesh),
         shard_vector(b2, mesh),
         shard_vector(jnp.zeros_like(b2), mesh),
