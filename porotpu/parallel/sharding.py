@@ -91,8 +91,7 @@ def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
         )
     return AMG(
         levels,
-        replicate(amg.coarse_lu, mesh),
-        replicate(amg.coarse_piv, mesh),
+        replicate(amg.coarse_inv, mesh),
         amg.presmooth,
         amg.postsmooth,
     )

@@ -208,24 +208,30 @@ class AMGLevel:
 
 @jax.tree_util.register_pytree_node_class
 class AMG:
-    """Device-side V-cycle. Callable as a preconditioner: x = AMG(b)."""
+    """Device-side V-cycle. Callable as a preconditioner: x = AMG(b).
 
-    def __init__(self, levels, coarse_lu, coarse_piv, presmooth=1, postsmooth=1):
+    The coarsest level is applied as a dense matvec with the explicit
+    inverse (computed in f64 on host): on TPU a triangular lu_solve is a
+    sequential latency chain (~n/128 dependent steps), while ``Ainv @ b``
+    is one MXU matmul — the classic substitution for device-side direct
+    solves.
+    """
+
+    def __init__(self, levels, coarse_inv, presmooth=1, postsmooth=1):
         self.levels = tuple(levels)
-        self.coarse_lu = coarse_lu
-        self.coarse_piv = coarse_piv
+        self.coarse_inv = coarse_inv
         self.presmooth = presmooth
         self.postsmooth = postsmooth
 
     def tree_flatten(self):
-        return (self.levels, self.coarse_lu, self.coarse_piv), (
+        return (self.levels, self.coarse_inv), (
             self.presmooth,
             self.postsmooth,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1])
 
     # -- smoothing: Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A ------------
 
@@ -248,10 +254,7 @@ class AMG:
 
     def _cycle(self, li, b):
         if li == len(self.levels):
-            y = jax.scipy.linalg.lu_solve(
-                (self.coarse_lu, self.coarse_piv), b
-            )
-            return y
+            return self.coarse_inv @ b
         lvl = self.levels[li]
         x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth)
         r = b - lvl.A.matvec(x)
@@ -335,13 +338,12 @@ def amg_setup(
         B = Bc
         d = B.shape[1]
 
-    # coarsest: dense LU
+    # coarsest: dense inverse (host f64 factorization, device matvec)
     Ad = np.asarray(A.todense(), dtype=np.float64)
-    lu, piv = sla.lu_factor(Ad)
+    Ainv = sla.inv(Ad)
     return AMG(
         levels,
-        jnp.asarray(lu, dtype=dtype),
-        jnp.asarray(piv, dtype=jnp.int32),
+        jnp.asarray(Ainv, dtype=dtype),
         presmooth,
         postsmooth,
     )

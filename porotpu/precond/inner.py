@@ -97,9 +97,9 @@ class InnerSolver:
         if k == "jacobi":
             return self.payload["dinv"] * b
         if k == "lu":
-            return jax.scipy.linalg.lu_solve(
-                (self.payload["lu"], self.payload["piv"]), b
-            )
+            # dense direct solve as an explicit-inverse matvec (MXU);
+            # triangular lu_solve is a sequential latency chain on TPU
+            return self.payload["inv"] @ b
         if k == "chebyshev":
             A = self.payload["A"]
             dinv = self.payload["dinv"]
@@ -154,11 +154,8 @@ def build_inner_solver(
         return InnerSolver("jacobi", {"dinv": dinv})
 
     if method == "lu":
-        lu, piv = sla.lu_factor(np.asarray(A.todense(), dtype=np.float64))
-        return InnerSolver(
-            "lu",
-            {"lu": jnp.asarray(lu, dtype=dtype), "piv": jnp.asarray(piv, jnp.int32)},
-        )
+        inv = sla.inv(np.asarray(A.todense(), dtype=np.float64))
+        return InnerSolver("lu", {"inv": jnp.asarray(inv, dtype=dtype)})
 
     if method == "chebyshev":
         from .amg import _power_lmax
