@@ -50,3 +50,22 @@ def _tune_host_allocator():
 
 
 _tune_host_allocator()
+
+def _select_platform():
+    """Honor PORO_PLATFORM=cpu|tpu.
+
+    The hosting harness overrides JAX_PLATFORMS, so a plain env var is not
+    enough to keep CPU-only runs (tests, setup-side tools, drivers on a
+    busy device) off the single tunnel-attached TPU — the device admits one
+    process at a time and a second silently blocks on the device lock.
+    """
+    import os
+
+    plat = os.environ.get("PORO_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_select_platform()

@@ -58,7 +58,7 @@ class Poromechanics(AbstractPhysics):
         if self.pc_type not in PC_TYPES:
             raise SystemExit(
                 "pc type must be one of lu, undrained, diagonal, "
-                "diagonal 3-way, diagonal 3-way-II."
+                "diagonal 3-way, diagonal 3-way-II, undrained 3-way."
             )
         self.three_way = "3-way" in self.pc_type and self.pc_type != "diagonal 3-way-II"
         self.two_way = not self.three_way
@@ -447,19 +447,23 @@ class Poromechanics(AbstractPhysics):
         setup; returns True on success."""
         from ..utils import cache
 
-        st = cache.load(path)
-        if st is None:
+        try:
+            st = cache.load(path)
+            if st is None:
+                return False
+            self.A_dev = st["A_dev"]
+            self.pc = st["pc"]
+            self.H_dev = st["H_dev"]
+            self.bc_dofs = st["bc_dofs"]
+            self.bc_vals = st["bc_vals"]
+            # term spec derives from parameters only (no assembly)
+            self._hist_terms = (
+                self.assembler.history_term_spec() if self.H_dev is not None else None
+            )
+            self._finalize_solver()
+        except Exception as e:  # stale/corrupt cache must never crash a run
+            parprint(f"---- [Cache] ignoring unusable solver cache {path}: {e}")
             return False
-        self.A_dev = st["A_dev"]
-        self.pc = st["pc"]
-        self.H_dev = st["H_dev"]
-        self.bc_dofs = st["bc_dofs"]
-        self.bc_vals = st["bc_vals"]
-        # term spec derives from parameters only (no assembly)
-        self._hist_terms = (
-            self.assembler.history_term_spec() if self.H_dev is not None else None
-        )
-        self._finalize_solver()
         self.first_timestep = False
         return True
 

@@ -131,9 +131,16 @@ def _aggregate(S: sp.csr_matrix) -> np.ndarray:
 
 
 def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
-    """Build T (n_dofs x n_agg*k) with per-aggregate orthonormal columns.
+    """Build T (n_dofs x n_coarse) with per-aggregate orthonormal columns.
 
-    B: (n_dofs, k) near-nullspace. Returns (T csr, B_coarse (n_agg*k, k)).
+    B: (n_dofs, k) near-nullspace. Returns (T csr, B_coarse (n_coarse, k)).
+
+    Rank-revealing: the per-aggregate basis comes from a batched SVD and
+    near-zero singular directions are dropped.  A BC-zeroed near-nullspace
+    (rigid-body modes zeroed at Dirichlet dofs, models/poromechanics.py)
+    otherwise produces zero prolongator columns for aggregates whose nodes
+    are all constrained, making the Galerkin coarse operator singular —
+    the round-1 footing crash.
     """
     nn = agg.size
     n = nn * d
@@ -142,28 +149,40 @@ def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
     # dof -> aggregate
     dof_agg = np.repeat(agg, d)
     order = np.argsort(dof_agg, kind="stable")
-    sizes = np.bincount(dof_agg, minlength=na)
+    sizes = np.bincount(dof_agg, minlength=na)  # dofs per aggregate
     maxs = int(sizes.max())
     # padded per-aggregate local blocks
     Bpad = np.zeros((na, maxs, k))
     pos = np.arange(n) - np.repeat(np.cumsum(sizes) - sizes, sizes)
     Bpad[dof_agg[order], pos, :] = B[order, :]
-    Q, R = np.linalg.qr(Bpad)  # (na, maxs, k), (na, k, k)
-    # fix signs for deterministic output (diag(R) >= 0)
-    sgn = np.sign(np.einsum("aii->ai", R))
+    # batched thin SVD: Bpad = U @ diag(S) @ Vh per aggregate
+    U, S, Vh = np.linalg.svd(Bpad, full_matrices=False)  # (na,maxs,k),(na,k),(na,k,k)
+    # deterministic signs: largest-|.| entry of each U column positive
+    amax = np.argmax(np.abs(U), axis=1)  # (na, k)
+    sgn = np.sign(np.take_along_axis(U, amax[:, None, :], axis=1))[:, 0, :]
     sgn[sgn == 0] = 1.0
-    Q = Q * sgn[:, None, :]
-    R = R * sgn[:, :, None]
-    # scatter Q into sparse T
-    rows = order
-    data = Q[dof_agg[order], pos, :]  # (n, k)
-    cols = dof_agg[order][:, None] * k + np.arange(k)[None, :]
+    U = U * sgn[:, None, :]
+    Vh = Vh * sgn[:, :, None]
+    # rank detection: keep directions with non-negligible singular value
+    smax = S[:, :1]
+    keep = S > np.maximum(smax, 1e-30) * 1e-8  # (na, k) boolean
+    ncols = keep.sum(axis=1)
+    n_coarse = int(ncols.sum())
+    # global coarse column index of kept (aggregate, direction) pairs
+    col_of = np.full((na, k), -1, dtype=np.int64)
+    col_of[keep] = np.arange(n_coarse)
+    # scatter kept U columns into sparse T
+    data = U[dof_agg[order], pos, :]  # (n, k)
+    cols = col_of[dof_agg[order], :]  # (n, k)
+    rows = np.repeat(order, k)
+    sel = cols.ravel() >= 0
     T = sp.csr_matrix(
-        (data.ravel(), (np.repeat(rows, k), cols.ravel())), shape=(n, na * k)
+        (data.ravel()[sel], (rows[sel], cols.ravel()[sel])),
+        shape=(n, max(n_coarse, 1)),
     )
-    Bc = R.reshape(na * k, k, order="C")
-    # R stacked: coarse dof (a, j) rows: Bc[a*k + i, j] = R[a, i, j]
-    Bc = R.transpose(0, 1, 2).reshape(na * k, k)
+    # coarse near-nullspace rows: Bc[col_of[a,i], :] = S[a,i] * Vh[a,i,:]
+    Bc = np.zeros((max(n_coarse, 1), k))
+    Bc[col_of[keep], :] = (S[:, :, None] * Vh)[keep]
     return T, Bc
 
 
@@ -338,9 +357,23 @@ def amg_setup(
         B = Bc
         d = B.shape[1]
 
-    # coarsest: dense inverse (host f64 factorization, device matvec)
+    # coarsest: dense inverse (host f64 factorization, device matvec).
+    # Singularity-proof: an exactly/nearly singular Galerkin coarse matrix
+    # (e.g. semidefinite blocks, or fully-constrained aggregates that slip
+    # past the rank filter) falls back to the pseudo-inverse — for a
+    # preconditioner the least-squares solve on the singular subspace is
+    # exactly what we want.
     Ad = np.asarray(A.todense(), dtype=np.float64)
-    Ainv = sla.inv(Ad)
+    try:
+        Ainv = sla.inv(Ad)
+        if not np.all(np.isfinite(Ainv)):
+            raise np.linalg.LinAlgError("non-finite inverse")
+        # guard against numerically-meaningless inverses of near-singular Ad
+        scale = np.abs(Ad).max() or 1.0
+        if np.abs(Ainv).max() * scale > 1e14:
+            raise np.linalg.LinAlgError("ill-conditioned coarse matrix")
+    except np.linalg.LinAlgError:
+        Ainv = np.linalg.pinv(Ad, rcond=1e-12)
     return AMG(
         levels,
         jnp.asarray(Ainv, dtype=dtype),

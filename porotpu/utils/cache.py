@@ -38,14 +38,30 @@ def config_key(**kwargs) -> str:
     return hashlib.sha1(blob).hexdigest()[:16]
 
 
+# Bump whenever any cached pytree layout changes (ELL/DIA/AMG/PC classes).
+# A cache written under a different schema silently misses -> rebuild;
+# round 1 shipped a bench crash from exactly this (stale pickled AMG layout).
+SCHEMA = "r2.1"
+
+
 def save(path: str, tree):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as fh:
-        pickle.dump(to_host(tree), fh, protocol=4)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump({"schema": SCHEMA, "tree": to_host(tree)}, fh, protocol=4)
+    os.replace(tmp, path)
 
 
 def load(path: str):
+    """Load a cached pytree; returns None on miss, schema mismatch, or ANY
+    corruption — a cache can only ever cause a rebuild, never a crash."""
     if not os.path.exists(path):
         return None
-    with open(path, "rb") as fh:
-        return to_device(pickle.load(fh))
+    try:
+        with open(path, "rb") as fh:
+            blob = pickle.load(fh)
+        if not isinstance(blob, dict) or blob.get("schema") != SCHEMA:
+            return None
+        return to_device(blob["tree"])
+    except Exception:
+        return None

@@ -77,3 +77,35 @@ def test_solver_state_cache(tmp_path):
     its2 = p2.solve_time_step(0.1)
     assert its1 == its2
     assert np.allclose(np.asarray(p1.sol), np.asarray(p2.sol))
+
+def test_corrupt_and_stale_cache_rebuilds(tmp_path):
+    """A stale-schema or corrupted cache must silently miss, never crash
+    (round-1 BENCH_r01 crashed on a stale unversioned pickle)."""
+    import pickle
+
+    from porotpu.utils import cache
+
+    ov = {"inner pc type": "lu"}
+    p1 = benchmarks.swelling(Nelements=3, overrides=dict(ov))
+    path = str(tmp_path / "ops.pkl")
+
+    # 1. garbage bytes
+    with open(path, "wb") as fh:
+        fh.write(b"not a pickle at all")
+    assert not p1.try_load_solver_cache(path)
+
+    # 2. valid pickle, wrong schema tag
+    with open(path, "wb") as fh:
+        pickle.dump({"schema": "ancient", "tree": {}}, fh)
+    assert cache.load(path) is None
+    assert not p1.try_load_solver_cache(path)
+
+    # 3. right schema, wrong payload layout (simulates a pytree refactor)
+    with open(path, "wb") as fh:
+        pickle.dump({"schema": cache.SCHEMA, "tree": {"A_dev": 1}}, fh)
+    assert not p1.try_load_solver_cache(path)
+
+    # after all misses the problem still sets up and solves
+    p1.create_solver()
+    p1.first_timestep = False
+    assert p1.solve_time_step(0.1) >= 1
