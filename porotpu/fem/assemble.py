@@ -301,18 +301,18 @@ def _facet_tabulation(space: FunctionSpace, facet_ids: np.ndarray):
     fdim = dim - 1
     phi, _ = elements.tabulate(fdim, space.degree, pts)
 
-    # facet node ids in space numbering: vertices then edge midpoints
-    nodes = [f]
+    # facet node ids in space numbering (vert_node/edge_node maps account
+    # for the lattice-lexicographic renumbering)
+    nodes = [space.vert_node[f]]
     if space.degree == 2:
-        nv = mesh.num_vertices
         if dim == 2:
             eids = space._edge_lookup(np.sort(f, axis=1))
-            nodes.append((nv + eids)[:, None])
+            nodes.append(space.edge_node[eids][:, None])
         else:
             # P2 triangle edge ordering: (1,2), (0,2), (0,1)
             pairs = np.stack([f[:, [1, 2]], f[:, [0, 2]], f[:, [0, 1]]], axis=1)
             eids = space._edge_lookup(np.sort(pairs.reshape(-1, 2), axis=1))
-            nodes.append(nv + eids.reshape(-1, 3))
+            nodes.append(space.edge_node[eids].reshape(-1, 3))
     fnodes = np.concatenate(nodes, axis=1)  # (nf, nbf)
 
     # geometry of the facet chart

@@ -604,10 +604,23 @@ class Poromechanics(AbstractPhysics):
         return its
 
     def solution_fields(self):
+        """Vertex values of the three fields (mesh-vertex order) for export.
+
+        Nodes are lattice-lexicographically renumbered (fem/dofmap.py), so
+        vertex values are extracted via each space's vert_node map rather
+        than assuming vertices-first numbering.
+        """
+        dim = self.mesh.dim
+        vs = self.W.space("s").vert_node
+        vf = self.W.space("f").vert_node
+        vp = self.W.space("p").vert_node
+        us = np.asarray(self.us_nm1)[: self.ns].reshape(-1, dim)[vs]
+        uf = np.asarray(self.uf_nm1)[: self.nf].reshape(-1, dim)[vf]
+        p = np.asarray(self.p_nm1)[: self.npp][vp]
         return {
-            "displacement": np.asarray(self.us_nm1)[: self.ns],
-            "fluid velocity": np.asarray(self.uf_nm1)[: self.nf],
-            "pressure": np.asarray(self.p_nm1)[: self.npp],
+            "displacement": us,
+            "fluid velocity": uf,
+            "pressure": p,
         }
 
     def unpadded_solution(self):
