@@ -166,6 +166,44 @@ class FunctionSpace:
         return np.repeat(self.node_coords, self.ncomp, axis=0)
 
 
+def vertex_embedding(
+    col_space: "FunctionSpace",
+    row_space: "FunctionSpace",
+    n_cols_pad: int | None = None,
+    n_rows_pad: int | None = None,
+) -> np.ndarray | None:
+    """Injective map of a scalar P1 column space's dofs into a row space's
+    dof index range, enabling banded (DIA) storage of cross-space blocks
+    (ops/dia.py col_emb): P1 node q -> dof of the row-space node sitting on
+    the same mesh vertex (component 0 for vector row spaces).
+
+    Pad columns (field segments are padded to ``pad multiple``,
+    models/poromechanics.py) are mapped to unused row slots so the
+    embedding stays injective over the full padded width.  Returns None
+    when no such embedding exists (col space not scalar P1, different
+    meshes, or not enough free row slots).
+    """
+    if col_space.degree != 1 or col_space.vector:
+        return None
+    if col_space.mesh is not row_space.mesh:
+        return None
+    nv = col_space.mesh.num_vertices
+    vertex_of = np.empty(nv, dtype=np.int64)
+    vertex_of[col_space.vert_node] = np.arange(nv)
+    emb = row_space.vert_node[vertex_of] * row_space.ncomp
+    n_cols_pad = n_cols_pad if n_cols_pad is not None else nv
+    n_rows_pad = n_rows_pad if n_rows_pad is not None else row_space.num_dofs
+    npad = n_cols_pad - nv
+    if npad > 0:
+        used = np.zeros(n_rows_pad, dtype=bool)
+        used[emb] = True
+        free = np.nonzero(~used)[0]
+        if free.size < npad:
+            return None
+        emb = np.concatenate([emb, free[:npad]])
+    return emb
+
+
 @dataclass
 class FieldSlice:
     name: str

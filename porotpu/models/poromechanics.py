@@ -28,8 +28,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..fem.bcs import apply_bcs_matrix, apply_bcs_vector, bc_dofs_values
-from ..fem.dofmap import FunctionSpace, MixedSpace
-from ..ops.sparse import ELL
+from ..fem.dofmap import FunctionSpace, MixedSpace, vertex_embedding
+from ..ops.dia import device_matrix
 from ..precond.amg import rigid_body_modes
 from ..precond.block import BlockPreconditioner
 from ..precond.inner import InnerConfig, InnerSolver, build_inner_solver
@@ -299,17 +299,29 @@ class Poromechanics(AbstractPhysics):
             "p": slice(ns_p + nf_p, self.n_pad),
         }
 
-        # outer operator as per-field blocks: ELL row padding is driven by
-        # the max row length, so 9 tight blocks cost far less memory and
-        # bandwidth than one monolithic ELL whose every row pads to the
-        # widest (solid) row
+        # cross-space embeddings: pressure (P1) dofs embed into the P2
+        # vector lattices, making the coupling blocks banded (ops/dia.py)
+        emb_ps = vertex_embedding(W.space("p"), W.space("s"), np_p, ns_p)
+        emb_pf = vertex_embedding(W.space("p"), W.space("f"), np_p, nf_p)
+        embs = {
+            ("s", "p"): dict(col_emb=emb_ps),
+            ("f", "p"): dict(col_emb=emb_pf),
+            ("p", "s"): dict(row_emb=emb_ps),
+            ("p", "f"): dict(row_emb=emb_pf),
+        }
+
+        # outer operator as per-field blocks: 9 tight blocks cost far less
+        # memory and bandwidth than one monolithic operator; same-lattice
+        # blocks and embedded coupling blocks store as gather-free DIA
         a_blocks = {}
         for rf in FIELDS:
             for cf in FIELDS:
                 blk = A[sl[rf], sl[cf]].tocsr()
                 blk.eliminate_zeros()
                 if blk.nnz:
-                    a_blocks[(rf, cf)] = ELL.from_csr(blk, dtype)
+                    a_blocks[(rf, cf)] = device_matrix(
+                        blk, dtype, **embs.get((rf, cf), {})
+                    )
         from ..ops.sparse import FieldMatrix
 
         self.A_dev = FieldMatrix(
@@ -365,6 +377,8 @@ class Poromechanics(AbstractPhysics):
                     self._inner_cfg("fp_fieldsplit_0"),
                     self._inner_cfg("fp_fieldsplit_1"),
                     dofs_per_node_f=dim,
+                    near_nullspace_f=B_f,
+                    row_emb_pf=emb_pf,
                     dtype=dtype,
                 )
             self.pc = BlockPreconditioner(
@@ -374,8 +388,10 @@ class Poromechanics(AbstractPhysics):
                 False,
                 solve_s,
                 solve_fp=solve_fp,
-                Pfs=ELL.from_csr(P[sl["f"], sl["s"]].tocsr(), dtype),
-                Pps=ELL.from_csr(P[sl["p"], sl["s"]].tocsr(), dtype),
+                Pfs=device_matrix(P[sl["f"], sl["s"]].tocsr(), dtype),
+                Pps=device_matrix(
+                    P[sl["p"], sl["s"]].tocsr(), dtype, row_emb=emb_ps
+                ),
             )
         else:
             solve_f = build_inner_solver(
@@ -398,9 +414,9 @@ class Poromechanics(AbstractPhysics):
                 solve_f=solve_f,
                 solve_p=solve_p,
                 solve_diff=solve_diff,
-                Pfp=ELL.from_csr(P[sl["f"], sl["p"]].tocsr(), dtype),
-                Psf=ELL.from_csr(P[sl["s"], sl["f"]].tocsr(), dtype),
-                Psp=ELL.from_csr(P[sl["s"], sl["p"]].tocsr(), dtype),
+                Pfp=device_matrix(P[sl["f"], sl["p"]].tocsr(), dtype, col_emb=emb_pf),
+                Psf=device_matrix(P[sl["s"], sl["f"]].tocsr(), dtype),
+                Psp=device_matrix(P[sl["s"], sl["p"]].tocsr(), dtype, col_emb=emb_ps),
                 diff_rhs_mask=jnp.asarray(mask, dtype=dtype),
                 w1=float(self.parameters.get("w1", 1.0)),
                 w2=float(self.parameters.get("w2", 0.1)),
@@ -417,8 +433,11 @@ class Poromechanics(AbstractPhysics):
                 "D_s": (np_p, ns_p),
                 "Mp": (np_p, np_p),
             }
+            h_embs = {"D_s": dict(row_emb=emb_ps)}
             self.H_dev = {
-                k: ELL.from_csr(self._pad_rect(v, *shapes[k]), dtype)
+                k: device_matrix(
+                    self._pad_rect(v, *shapes[k]), dtype, **h_embs.get(k, {})
+                )
                 for k, v in ops.items()
             }
             self._hist_terms = self.assembler.history_term_spec()

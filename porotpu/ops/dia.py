@@ -19,6 +19,13 @@ Rectangular cross-space blocks (P2 rows x P1 cols, prolongators) are
 handled by a **column embedding**: P1 vertices / coarse dofs are mapped to
 unique slots of the row lattice (``col_emb``), the input is scattered into
 that lattice once (small), and the shifted-slice sweep runs unchanged.
+Tall-skinny blocks (P1 rows x P2 cols, e.g. divergence rows) use the
+``Transposed`` wrapper: the transpose is banded under a row embedding and
+is applied with ``rmatvec``.
+
+Large diagonal counts are applied with a chunked ``lax.scan`` (dynamic
+slice starts) instead of a fully unrolled fused loop, bounding the XLA
+graph size; small counts unroll for maximum fusion.
 
 Reference parity: replaces createSubMatrix products (lib/Preconditioner.py
 60-75) and MatMult throughout.
@@ -26,10 +33,17 @@ Reference parity: replaces createSubMatrix products (lib/Preconditioner.py
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+
+# diagonals <= UNROLL_MAX are applied as a fully unrolled (XLA-fused)
+# slice loop; more are applied as a lax.scan over chunks of CHUNK
+UNROLL_MAX = int(os.environ.get("PORO_DIA_UNROLL", "64"))
+CHUNK = int(os.environ.get("PORO_DIA_CHUNK", "16"))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -42,21 +56,34 @@ class DIA:
         space; None means emb = identity (ncols-dim input read in place).
     """
 
-    def __init__(self, data, offsets, nrows, ncols, col_emb=None):
+    def __init__(self, data, offsets, nrows, ncols, col_emb=None, ne=None):
         self.data = data
         self.offsets = tuple(int(o) for o in offsets)
         self.nrows = int(nrows)
         self.ncols = int(ncols)
         self.col_emb = col_emb
+        if ne is None:
+            # static size of the embedded input space; col_emb must be a
+            # concrete array here (construction time, not trace time)
+            if col_emb is None:
+                ne = self.ncols
+            else:
+                ne = max(self.nrows, int(np.max(np.asarray(col_emb))) + 1)
+        self.ne = int(ne)
 
     def tree_flatten(self):
-        return (self.data, self.col_emb), (self.offsets, self.nrows, self.ncols)
+        return (self.data, self.col_emb), (
+            self.offsets,
+            self.nrows,
+            self.ncols,
+            self.ne,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, col_emb = children
-        offsets, nrows, ncols = aux
-        return cls(data, offsets, nrows, ncols, col_emb)
+        offsets, nrows, ncols, ne = aux
+        return cls(data, offsets, nrows, ncols, col_emb, ne)
 
     @property
     def shape(self):
@@ -92,26 +119,26 @@ class DIA:
         offsets = np.unique(off)
         if max_diags is not None and len(offsets) > max_diags:
             return None
+        nd = max(len(offsets), 1)
+        # pad the diagonal count to a CHUNK multiple when the scan path will
+        # be used (zero rows contribute nothing; offset 0 keeps pads legal)
+        nd_store = nd if nd <= UNROLL_MAX else ((nd + CHUNK - 1) // CHUNK) * CHUNK
         didx = np.searchsorted(offsets, off)
-        data = np.zeros((max(len(offsets), 1), n), dtype=np.float64)
+        # fill directly in the target dtype: the host VM pays first-touch
+        # page faults at ~12 MB/s, so avoid a second full-size f64 temporary
+        np_dtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+        data = np.zeros((nd_store, n), dtype=np_dtype)
         data[didx, coo.row] = coo.data
+        offs = list(int(o) for o in offsets) or [0]
+        offs += [0] * (nd_store - len(offs))
         emb = None if col_emb is None else jnp.asarray(col_emb, dtype=jnp.int32)
-        return cls(
-            jnp.asarray(data, dtype=dtype),
-            tuple(int(o) for o in offsets) or (0,),
-            n,
-            m,
-            emb,
-        )
+        return cls(jnp.asarray(data), tuple(offs), n, m, emb)
 
     # -- padding bookkeeping --------------------------------------------
 
     def _emb_size(self):
-        # size of the embedded input space (row-lattice size; at least
-        # large enough to hold every embedded column slot)
-        if self.col_emb is None:
-            return self.ncols
-        return self.nrows
+        # static size of the embedded input space (computed at construction)
+        return self.ne
 
     def _pads(self):
         offs = self.offsets
@@ -129,67 +156,160 @@ class DIA:
         else:
             xe = x
         xpad = jnp.pad(xe, (lo, hi))
+        nd = self.data.shape[0]
         y = jnp.zeros(self.nrows, dtype=x.dtype)
-        for d, o in enumerate(self.offsets):
-            y = y + self.data[d] * jax.lax.dynamic_slice(
-                xpad, (lo + o,), (self.nrows,)
-            )
+        if nd <= UNROLL_MAX:
+            for d, o in enumerate(self.offsets):
+                y = y + self.data[d] * jax.lax.dynamic_slice(
+                    xpad, (lo + o,), (self.nrows,)
+                )
+            return y
+        # scan path: CHUNK diagonals per step, dynamic slice starts
+        starts = jnp.asarray(
+            [lo + o for o in self.offsets], dtype=jnp.int32
+        ).reshape(-1, CHUNK)
+        dchunks = self.data.reshape(-1, CHUNK, self.nrows)
+
+        def body(y, args):
+            dat, st = args
+            for j in range(CHUNK):
+                y = y + dat[j] * jax.lax.dynamic_slice(
+                    xpad, (st[j],), (self.nrows,)
+                )
+            return y, None
+
+        y, _ = jax.lax.scan(body, y, (dchunks, starts))
         return y
 
     def rmatvec(self, x: jax.Array) -> jax.Array:
         """A^T @ x via shifted static-slice accumulation (scatter-free)."""
         lo, hi, ne = self._pads()
+        nd = self.data.shape[0]
         acc = jnp.zeros(ne + lo + hi, dtype=x.dtype)
-        for d, o in enumerate(self.offsets):
-            seg = jax.lax.dynamic_slice(acc, (lo + o,), (self.nrows,))
-            acc = jax.lax.dynamic_update_slice(
-                acc, seg + self.data[d] * x, (lo + o,)
-            )
+        if nd <= UNROLL_MAX:
+            for d, o in enumerate(self.offsets):
+                seg = jax.lax.dynamic_slice(acc, (lo + o,), (self.nrows,))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, seg + self.data[d] * x, (lo + o,)
+                )
+        else:
+            starts = jnp.asarray(
+                [lo + o for o in self.offsets], dtype=jnp.int32
+            ).reshape(-1, CHUNK)
+            dchunks = self.data.reshape(-1, CHUNK, self.nrows)
+
+            def body(acc, args):
+                dat, st = args
+                for j in range(CHUNK):
+                    seg = jax.lax.dynamic_slice(acc, (st[j],), (self.nrows,))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, seg + dat[j] * x, (st[j],)
+                    )
+                return acc, None
+
+            acc, _ = jax.lax.scan(body, acc, (dchunks, starts))
         ye = jax.lax.dynamic_slice(acc, (lo,), (ne,))
         if self.col_emb is not None:
             return ye[self.col_emb]
-        return ye
+        return ye[: self.ncols]
 
     def __matmul__(self, x):
         return self.matvec(x)
 
     def to_dense(self) -> np.ndarray:
-        out = np.zeros((self.nrows, self._emb_size() + 1 + max(self.offsets)))
+        ne = self._emb_size()
+        out = np.zeros((self.nrows, ne + 1 + max(max(self.offsets), 0)))
         d = np.asarray(self.data, dtype=np.float64)
         rows = np.arange(self.nrows)
         for k, o in enumerate(self.offsets):
             cols = rows + o
             ok = (cols >= 0) & (cols < out.shape[1])
             out[rows[ok], cols[ok]] += d[k, ok]
-        ne = self._emb_size()
         out = out[:, :ne]
         if self.col_emb is not None:
             return out[:, np.asarray(self.col_emb)]
         return out[:, : self.ncols]
 
 
+@jax.tree_util.register_pytree_node_class
+class Transposed:
+    """Apply the transpose of a stored operator: matvec <-> rmatvec.
+
+    Lets tall-skinny blocks (few rows, many columns — e.g. pressure-row
+    divergence blocks) store their banded transpose as DIA instead of
+    falling back to the gather-path ELL.
+    """
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def tree_flatten(self):
+        return (self.inner,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def shape(self):
+        s = self.inner.shape
+        return (s[1], s[0])
+
+    @property
+    def nnz(self):
+        return self.inner.nnz
+
+    @property
+    def nnz_padded(self):
+        return self.inner.nnz_padded
+
+    def matvec(self, x):
+        return self.inner.rmatvec(x)
+
+    def rmatvec(self, x):
+        return self.inner.matvec(x)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def to_dense(self):
+        return self.inner.to_dense().T
+
+
+def _dia_feasible(A: sp.coo_matrix, emb, max_diags, min_fill):
+    ecol = A.col if emb is None else emb[A.col]
+    offsets = np.unique(ecol.astype(np.int64) - A.row)
+    fill = A.nnz / max(len(offsets) * A.shape[0], 1)
+    return len(offsets) <= max_diags and fill >= min_fill
+
+
 def device_matrix(
     A: sp.spmatrix,
     dtype=jnp.float32,
     col_emb: np.ndarray | None = None,
-    max_diags: int = 2048,
+    row_emb: np.ndarray | None = None,
+    max_diags: int = 1024,
     min_fill: float = 0.02,
 ):
-    """Pick the device format for a host CSR matrix: DIA when the diagonal
-    count is bounded and not catastrophically sparse, ELL otherwise."""
+    """Pick the device format for a host CSR matrix.
+
+    Preference order: DIA (direct, with optional ``col_emb``), the banded
+    transpose via ``Transposed`` (optional ``row_emb`` embedding this
+    matrix's rows into its column space), then gather-path ELL.
+    """
     from .sparse import ELL
 
     A = A.tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()
     n, m = A.shape
     coo = A.tocoo()
     if coo.nnz == 0:
         return DIA(jnp.zeros((1, n), dtype=dtype), (0,), n, m, None)
-    ecol = coo.col if col_emb is None else col_emb[coo.col]
-    offsets = np.unique(ecol.astype(np.int64) - coo.row)
-    fill = coo.nnz / (len(offsets) * n)
-    if len(offsets) <= max_diags and fill >= min_fill:
+    if _dia_feasible(coo, col_emb, max_diags, min_fill):
         return DIA.from_csr(A, dtype, col_emb=col_emb)
-    if col_emb is not None:
-        # embedding only matters for DIA; ELL gathers true columns
-        pass
+    At = A.T.tocsr()
+    cooT = At.tocoo()
+    if _dia_feasible(cooT, row_emb, max_diags, min_fill):
+        return Transposed(DIA.from_csr(At, dtype, col_emb=row_emb))
     return ELL.from_csr(A, dtype)

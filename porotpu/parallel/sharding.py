@@ -26,6 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.dia import DIA, Transposed
 from ..ops.sparse import ELL, FieldMatrix
 from ..precond.amg import AMG, AMGLevel
 from ..precond.block import BlockPreconditioner
@@ -50,11 +51,31 @@ def shard_vector(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P("rows")))
 
 
-def shard_ell(E: ELL, mesh: Mesh) -> ELL:
-    """Row-partition an ELL matrix over the mesh (cols stay global)."""
-    rows2d = NamedSharding(mesh, P("rows", None))
+def shard_ell(E, mesh: Mesh):
+    """Row-partition a device matrix over the mesh (cols stay global).
+
+    ELL stores rows on axis 0, DIA on axis 1 (data is (n_diags, nrows));
+    Transposed shards its inner matrix.  Shapes not divisible by the mesh
+    size (small AMG coarse levels) are replicated instead.
+    """
+
+    def _put(arr, spec):
+        axis = spec.index("rows") if "rows" in spec else None
+        if axis is not None and arr.shape[axis] % mesh.size:
+            return jax.device_put(arr, NamedSharding(mesh, P()))
+        return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+    if isinstance(E, Transposed):
+        return Transposed(shard_ell(E.inner, mesh))
+    if isinstance(E, DIA):
+        emb = E.col_emb
+        if emb is not None:
+            emb = jax.device_put(emb, NamedSharding(mesh, P()))
+        return DIA(
+            _put(E.data, (None, "rows")), E.offsets, E.nrows, E.ncols, emb, E.ne
+        )
     return ELL(
-        jax.device_put(E.data, rows2d), jax.device_put(E.cols, rows2d), E.ncols
+        _put(E.data, ("rows", None)), _put(E.cols, ("rows", None)), E.ncols
     )
 
 

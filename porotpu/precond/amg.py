@@ -24,6 +24,7 @@ import numpy as np
 import scipy.linalg as sla
 import scipy.sparse as sp
 
+from ..ops.dia import device_matrix
 from ..ops.sparse import ELL
 
 
@@ -133,7 +134,11 @@ def _aggregate(S: sp.csr_matrix) -> np.ndarray:
 def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
     """Build T (n_dofs x n_coarse) with per-aggregate orthonormal columns.
 
-    B: (n_dofs, k) near-nullspace. Returns (T csr, B_coarse (n_coarse, k)).
+    B: (n_dofs, k) near-nullspace. Returns (T csr, B_coarse (n_coarse, k),
+    emb (n_coarse,) int64): emb maps each coarse column to a distinct fine
+    dof of its aggregate — the column embedding that makes T (and the
+    smoothed P) banded in DIA storage (ops/dia.py), since aggregate members
+    are lattice-near under the lex node numbering.
 
     Rank-revealing: the per-aggregate basis comes from a batched SVD and
     near-zero singular directions are dropped.  A BC-zeroed near-nullspace
@@ -183,7 +188,15 @@ def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
     # coarse near-nullspace rows: Bc[col_of[a,i], :] = S[a,i] * Vh[a,i,:]
     Bc = np.zeros((max(n_coarse, 1), k))
     Bc[col_of[keep], :] = (S[:, :, None] * Vh)[keep]
-    return T, Bc
+    # column embedding: coarse column (a, i) -> the rank(i)-th member dof
+    # of aggregate a (members are disjoint => injective; lattice-near =>
+    # bounded DIA offsets for T and the smoothed P)
+    starts = np.cumsum(sizes) - sizes
+    aa, _ = np.nonzero(keep)
+    ranks = (np.cumsum(keep, axis=1) - 1)[keep]
+    emb = np.zeros(max(n_coarse, 1), dtype=np.int64)
+    emb[col_of[keep]] = order[starts[aa] + ranks]
+    return T, Bc, emb
 
 
 def _power_lmax(A: sp.csr_matrix, dinv: np.ndarray, iters=15, seed=0) -> float:
@@ -318,6 +331,10 @@ def amg_setup(
     levels = []
     max_dense = max(coarse_size * 4, 6000)
     while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
+        # rank-revealing column drops can leave a coarse dof count that is
+        # not a multiple of the nominal block size; collapse per-dof then
+        if A.shape[0] % d != 0:
+            d = 1
         C = _node_graph(A, d)
         S = _strength(C, theta)
         agg = _aggregate(S)
@@ -336,7 +353,7 @@ def amg_setup(
                     break
             else:
                 break
-        T, Bc = _tentative_prolongator(agg, d, B)
+        T, Bc, emb = _tentative_prolongator(agg, d, B)
         diag = np.asarray(A.diagonal())
         diag[diag == 0] = 1.0
         dinv = 1.0 / diag
@@ -347,8 +364,8 @@ def amg_setup(
         Ac = (P.T.tocsr() @ (A @ P)).tocsr()
         levels.append(
             AMGLevel(
-                ELL.from_csr(A, dtype),
-                ELL.from_csr(P, dtype),
+                device_matrix(A, dtype),
+                device_matrix(P, dtype, col_emb=emb),
                 jnp.asarray(dinv, dtype=dtype),
                 lmax,
             )

@@ -25,6 +25,7 @@ import numpy as np
 import scipy.linalg as sla
 import scipy.sparse as sp
 
+from ..ops.dia import device_matrix
 from ..ops.sparse import ELL
 from ..solvers.cg import cg_fixed
 from ..solvers.chebyshev import chebyshev
@@ -163,7 +164,7 @@ def build_inner_solver(
         lmax = _power_lmax(A, np.asarray(1.0 / diag))
         return InnerSolver(
             "chebyshev",
-            {"A": ELL.from_csr(A, dtype), "dinv": dinv},
+            {"A": device_matrix(A, dtype), "dinv": dinv},
             iters=cfg.iters,
             lmax=lmax,
             cheb_frac=cfg.cheb_frac,
@@ -171,7 +172,7 @@ def build_inner_solver(
 
     if method == "cg":
         return InnerSolver(
-            "cg", {"A": ELL.from_csr(A, dtype), "dinv": dinv}, iters=cfg.iters
+            "cg", {"A": device_matrix(A, dtype), "dinv": dinv}, iters=cfg.iters
         )
 
     if method in ("amg", "cg+amg"):
@@ -187,7 +188,7 @@ def build_inner_solver(
         )
         # reuse the hierarchy's fine-level operator instead of a second
         # device copy of the same ELL (halves the per-block footprint)
-        Eop = amg.levels[0].A if amg.levels else ELL.from_csr(A, dtype)
+        Eop = amg.levels[0].A if amg.levels else device_matrix(A, dtype)
         if method == "amg":
             return InnerSolver("amg", {"amg": amg, "A": Eop}, iters=max(cfg.sweeps, 1))
         return InnerSolver("cg+amg", {"amg": amg, "A": Eop}, iters=cfg.iters)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
+from ..ops.dia import device_matrix
 from ..ops.sparse import ELL
 from .inner import InnerConfig, InnerSolver, build_inner_solver
 
@@ -66,9 +67,24 @@ def build_schur_fieldsplit(
     cfg_f: InnerConfig,
     cfg_S: InnerConfig,
     dofs_per_node_f: int = 1,
+    near_nullspace_f=None,
+    row_emb_pf=None,
     dtype=jnp.float32,
 ) -> SchurFieldsplit:
     S = selfp_schur(Aff, Afp, Apf, App)
-    solve_f = build_inner_solver(Aff, cfg_f, dofs_per_node=dofs_per_node_f, dtype=dtype)
+    solve_f = build_inner_solver(
+        Aff,
+        cfg_f,
+        dofs_per_node=dofs_per_node_f,
+        near_nullspace=near_nullspace_f,
+        dtype=dtype,
+    )
     solve_S = build_inner_solver(S, cfg_S, dtype=dtype)
-    return SchurFieldsplit(Aff.shape[0], solve_f, solve_S, ELL.from_csr(Apf, dtype))
+    # Apf (pressure rows x fluid cols) is tall-skinny transposed: store its
+    # banded transpose under the P1->P2 row embedding (ops/dia.py)
+    return SchurFieldsplit(
+        Aff.shape[0],
+        solve_f,
+        solve_S,
+        device_matrix(Apf, dtype, row_emb=row_emb_pf),
+    )

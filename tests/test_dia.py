@@ -1,0 +1,139 @@
+"""DIA banded container: correctness vs scipy (matvec/rmatvec, embeddings,
+format dispatch, unrolled vs scan paths).
+
+The DIA format replaces the gather-path ELL as the production SpMV
+(reference analogue: PETSc CSR MatMult, lib/AAR.py:135).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from porotpu.ops import DIA, ELL, Transposed, device_matrix
+from porotpu.ops import dia as dia_mod
+
+
+def banded_random(n, offsets, rng, density=0.8):
+    rows, cols, vals = [], [], []
+    for o in offsets:
+        i = np.arange(max(0, -o), min(n, n - o))
+        keep = rng.random(i.size) < density
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + o)
+        vals.append(rng.normal(size=i.size))
+    A = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+    return A
+
+
+def test_dia_square_matvec_rmatvec():
+    rng = np.random.default_rng(0)
+    n = 200
+    A = banded_random(n, [-7, -3, -1, 0, 1, 2, 9], rng)
+    D = DIA.from_csr(A, dtype=jnp.float64)
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(D.matvec(jnp.asarray(x)), A @ x, rtol=1e-12)
+    np.testing.assert_allclose(D.rmatvec(jnp.asarray(x)), A.T @ x, rtol=1e-12)
+    np.testing.assert_allclose(D.to_dense(), A.toarray(), rtol=1e-12)
+
+
+def test_dia_scan_path():
+    """> UNROLL_MAX diagonals exercises the chunked lax.scan path."""
+    rng = np.random.default_rng(1)
+    n = 300
+    offsets = np.unique(rng.integers(-90, 90, size=dia_mod.UNROLL_MAX + 40))
+    A = banded_random(n, offsets, rng, density=0.5)
+    D = DIA.from_csr(A, dtype=jnp.float64)
+    assert D.data.shape[0] > dia_mod.UNROLL_MAX
+    assert D.data.shape[0] % dia_mod.CHUNK == 0
+    x = rng.normal(size=n)
+    y = jax.jit(lambda d, v: d.matvec(v))(D, jnp.asarray(x))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-11)
+    yt = jax.jit(lambda d, v: d.rmatvec(v))(D, jnp.asarray(x))
+    np.testing.assert_allclose(yt, A.T @ x, rtol=1e-11)
+
+
+def test_dia_col_emb_rect():
+    """Prolongator-like rectangular block with a column embedding."""
+    rng = np.random.default_rng(2)
+    nf, nc = 120, 40
+    emb = np.sort(rng.choice(nf, size=nc, replace=False))
+    # entries live near the embedded slot -> banded under emb
+    rows, cols, vals = [], [], []
+    for j in range(nc):
+        i = np.clip(emb[j] + np.arange(-2, 3), 0, nf - 1)
+        rows.append(i)
+        cols.append(np.full(i.size, j))
+        vals.append(rng.normal(size=i.size))
+    P = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nf, nc),
+    )
+    D = DIA.from_csr(P, dtype=jnp.float64, col_emb=emb)
+    xc = rng.normal(size=nc)
+    xf = rng.normal(size=nf)
+    np.testing.assert_allclose(D.matvec(jnp.asarray(xc)), P @ xc, rtol=1e-12)
+    np.testing.assert_allclose(D.rmatvec(jnp.asarray(xf)), P.T @ xf, rtol=1e-12)
+    np.testing.assert_allclose(D.to_dense(), P.toarray(), rtol=1e-12)
+
+
+def test_device_matrix_dispatch():
+    rng = np.random.default_rng(3)
+    n = 150
+    A = banded_random(n, [-2, 0, 2], rng)
+    assert isinstance(device_matrix(A, jnp.float64), DIA)
+    # scrambled columns: not banded -> ELL fallback
+    perm = rng.permutation(n)
+    B = A.tocoo()
+    B = sp.csr_matrix((B.data, (B.row, perm[B.col])), shape=(n, n))
+    assert isinstance(device_matrix(B, jnp.float64, max_diags=8), ELL)
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(
+        device_matrix(B, jnp.float64, max_diags=8).matvec(jnp.asarray(x)),
+        B @ x,
+        rtol=1e-12,
+    )
+
+
+def test_device_matrix_transposed_row_emb():
+    """Tall-skinny (p,s)-like block stores its banded transpose."""
+    rng = np.random.default_rng(4)
+    nrow, ncol = 40, 120
+    emb = np.sort(rng.choice(ncol, size=nrow, replace=False))
+    rows, cols, vals = [], [], []
+    for i in range(nrow):
+        j = np.clip(emb[i] + np.arange(-2, 3), 0, ncol - 1)
+        cols.append(j)
+        rows.append(np.full(j.size, i))
+        vals.append(rng.normal(size=j.size))
+    M = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nrow, ncol),
+    )
+    dev = device_matrix(M, jnp.float64, row_emb=emb, max_diags=16)
+    assert isinstance(dev, Transposed)
+    x = rng.normal(size=ncol)
+    y = rng.normal(size=nrow)
+    np.testing.assert_allclose(dev.matvec(jnp.asarray(x)), M @ x, rtol=1e-12)
+    np.testing.assert_allclose(dev.rmatvec(jnp.asarray(y)), M.T @ y, rtol=1e-12)
+
+
+def test_vertex_embedding_blocks():
+    """P1 pressure block embeds into the P2 vector lattice: (s,p) coupling
+    assembled on a real mesh stays banded and products match scipy."""
+    from porotpu.fem.dofmap import FunctionSpace, vertex_embedding
+    from porotpu.fem.mesh import generate_square
+
+    mesh = generate_square(5, 1.0)[0]
+    Vs = FunctionSpace(mesh, 2, vector=True)
+    Qp = FunctionSpace(mesh, 1, vector=False)
+    emb = vertex_embedding(Qp, Vs, Qp.num_dofs + 3, Vs.num_dofs + 6)
+    assert emb is not None
+    assert len(np.unique(emb)) == emb.size  # injective incl. pad slots
+    assert emb.size == Qp.num_dofs + 3
+    assert emb.max() < Vs.num_dofs + 6
