@@ -98,7 +98,7 @@ def main():
         y = spmv(A, y)
     y.block_until_ready()
     spmv_s = (time.perf_counter() - t0) / reps
-    nnz_padded = sum(int(e.data.size) for e in A.blocks.values())
+    nnz_padded = sum(int(e.nnz_padded) for e in A.blocks.values())
     log(
         f"solve: {solve_s:.4f}s ({iters} iters), "
         f"SpMV: {spmv_s * 1e3:.3f}ms, padded nnz/s={nnz_padded / spmv_s:.3e}"

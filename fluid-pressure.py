@@ -14,7 +14,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from porotpu.models.subsystems import fluid_pressure_problem
-from porotpu.ops.sparse import ELL
+from porotpu.fem.dofmap import vertex_embedding
+from porotpu.ops import FieldMatrix, device_matrix
 from porotpu.precond.inner import InnerConfig
 from porotpu.precond.schur import build_schur_fieldsplit
 from porotpu.solvers import fgmres
@@ -42,6 +43,8 @@ def main():
     )
 
     tt = time.perf_counter()
+    Vf, Qp = W.space("f"), W.space("p")
+    emb_pf = vertex_embedding(Qp, Vf)
     M = build_schur_fieldsplit(
         blocks["f", "f"],
         blocks["f", "p"],
@@ -50,6 +53,9 @@ def main():
         cfg_f,
         cfg_S,
         dofs_per_node_f=3,
+        coords_f=Vf.node_coords,
+        coords_p=Qp.node_coords,
+        row_emb_pf=emb_pf,
         dtype=dtype,
     )
     Amono = sp.bmat(
@@ -59,7 +65,18 @@ def main():
         ],
         format="csr",
     )
-    E = ELL.from_csr(Amono, dtype)
+    embs = {
+        ("f", "p"): dict(col_emb=emb_pf),
+        ("p", "f"): dict(row_emb=emb_pf),
+    }
+    E = FieldMatrix(
+        {
+            k: device_matrix(v.tocsr(), dtype, **embs.get(k, {}))
+            for k, v in blocks.items()
+            if v.nnz
+        },
+        {"f": Vf.num_dofs, "p": Qp.num_dofs},
+    )
     solve = jax.jit(
         lambda Eop, Mop, bb: fgmres(
             Eop.matvec, bb, M=Mop, rtol=1e-8, atol=0.0, maxiter=300

@@ -227,6 +227,19 @@ class Poromechanics(AbstractPhysics):
             int(p.get("inner maxiter", 10)),
         )
 
+    def _padded_coords(self, space, n_pad_nodes):
+        """Node coordinates extended with pad-node coords placed beyond the
+        domain (one lattice step apart) so lattice-box AMG aggregation
+        (precond/amg.py:_aggregate_boxes) groups pads among themselves."""
+        coords = space.node_coords
+        dim = coords.shape[1]
+        if n_pad_nodes == 0:
+            return coords
+        h = self.mesh.hmin() / max(space.degree, 1)
+        pad = np.tile(coords.max(axis=0), (n_pad_nodes, 1))
+        pad[:, 0] += h * (np.arange(n_pad_nodes) + 2)
+        return np.vstack([coords, pad])
+
     def _rigid_modes_padded(self, space, n_field, n_field_p, dof_offset, bc_dofs):
         """Rigid-body near-nullspace for a padded vector field, BC rows zeroed.
 
@@ -234,9 +247,8 @@ class Poromechanics(AbstractPhysics):
         nonsingular on the identity pad rows.
         """
         dim = self.mesh.dim
-        coords = space.node_coords
         pad_nodes = (n_field_p - n_field) // dim
-        coords_p = np.vstack([coords, np.zeros((pad_nodes, dim))])
+        coords_p = self._padded_coords(space, pad_nodes)
         B = rigid_body_modes(coords_p)
         f_bc = bc_dofs[(bc_dofs >= dof_offset) & (bc_dofs < dof_offset + n_field)]
         mask = np.ones(n_field_p, bool)
@@ -335,12 +347,17 @@ class Poromechanics(AbstractPhysics):
         # sketches the same for GAMG, solid.py:132-168)
         B_s = self._rigid_modes_padded(W.space("s"), self.ns, ns_p, 0, bc_dofs)
         B_f = self._rigid_modes_padded(W.space("f"), self.nf, nf_p, ns_p, bc_dofs)
+        # padded node coords for lattice-box AMG coarsening
+        xyz_s = self._padded_coords(W.space("s"), (ns_p - self.ns) // dim)
+        xyz_f = self._padded_coords(W.space("f"), (nf_p - self.nf) // dim)
+        xyz_p = self._padded_coords(W.space("p"), np_p - self.npp)
 
         solve_s = build_inner_solver(
             P_ss,
             self._inner_cfg("s"),
             dofs_per_node=dim,
             near_nullspace=B_s,
+            coords=xyz_s,
             dtype=dtype,
         )
 
@@ -364,6 +381,10 @@ class Poromechanics(AbstractPhysics):
                     InnerConfig(method="cg+amg", iters=20),
                     InnerConfig(method="lu"),
                     dofs_per_node_f=dim,
+                    near_nullspace_f=B_f,
+                    coords_f=xyz_f,
+                    coords_p=xyz_p,
+                    row_emb_pf=emb_pf,
                     dtype=dtype,
                 )
             else:
@@ -378,6 +399,8 @@ class Poromechanics(AbstractPhysics):
                     self._inner_cfg("fp_fieldsplit_1"),
                     dofs_per_node_f=dim,
                     near_nullspace_f=B_f,
+                    coords_f=xyz_f,
+                    coords_p=xyz_p,
                     row_emb_pf=emb_pf,
                     dtype=dtype,
                 )
@@ -399,10 +422,15 @@ class Poromechanics(AbstractPhysics):
                 self._inner_cfg("f"),
                 dofs_per_node=dim,
                 near_nullspace=B_f,
+                coords=xyz_f,
                 dtype=dtype,
             )
-            solve_p = build_inner_solver(P_pp, self._inner_cfg("p"), dtype=dtype)
-            solve_diff = build_inner_solver(Pd_pp, self._inner_cfg("diff"), dtype=dtype)
+            solve_p = build_inner_solver(
+                P_pp, self._inner_cfg("p"), coords=xyz_p, dtype=dtype
+            )
+            solve_diff = build_inner_solver(
+                Pd_pp, self._inner_cfg("diff"), coords=xyz_p, dtype=dtype
+            )
             mask = np.ones(np_p)
             mask[self.bcs_sub_pressure] = 0.0
             self.pc = BlockPreconditioner(

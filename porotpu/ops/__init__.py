@@ -1,3 +1,3 @@
-from .dia import DIA, Transposed, device_matrix
+from .dia import DIA, Dense, Transposed, device_matrix
 from .sparse import ELL, FieldMatrix
 from .spmv import ell_matvec

@@ -276,11 +276,62 @@ class Transposed:
         return self.inner.to_dense().T
 
 
-def _dia_feasible(A: sp.coo_matrix, emb, max_diags, min_fill):
+@jax.tree_util.register_pytree_node_class
+class Dense:
+    """Small dense device matrix (MXU matvec).
+
+    The right format for AMG coarse-level operators whose Galerkin fill
+    defeats banded storage: a dense matvec streams n*m elements through the
+    MXU, while the equivalent padded-ELL gather runs two orders of
+    magnitude slower (see ops/dia.py module docstring).
+    """
+
+    def __init__(self, data):
+        self.data = data
+
+    def tree_flatten(self):
+        return (self.data,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @classmethod
+    def from_csr(cls, A: sp.spmatrix, dtype=jnp.float32):
+        return cls(jnp.asarray(A.toarray(), dtype=dtype))
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def nnz(self):
+        return self.data.size
+
+    @property
+    def nnz_padded(self):
+        return self.data.size
+
+    def matvec(self, x):
+        return self.data @ x
+
+    def rmatvec(self, x):
+        return x @ self.data
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def to_dense(self):
+        return np.asarray(self.data, dtype=np.float64)
+
+
+def _dia_cost(A: sp.coo_matrix, emb, max_diags):
+    """Streaming cost (stored elements) of DIA storage, or None."""
     ecol = A.col if emb is None else emb[A.col]
     offsets = np.unique(ecol.astype(np.int64) - A.row)
-    fill = A.nnz / max(len(offsets) * A.shape[0], 1)
-    return len(offsets) <= max_diags and fill >= min_fill
+    if len(offsets) > max_diags:
+        return None
+    return len(offsets) * A.shape[0]
 
 
 def device_matrix(
@@ -289,13 +340,16 @@ def device_matrix(
     col_emb: np.ndarray | None = None,
     row_emb: np.ndarray | None = None,
     max_diags: int = 1024,
-    min_fill: float = 0.02,
+    dense_max: int = 16_000_000,
 ):
-    """Pick the device format for a host CSR matrix.
+    """Pick the device format for a host CSR matrix by streaming cost.
 
-    Preference order: DIA (direct, with optional ``col_emb``), the banded
+    Candidates: DIA (direct, with optional ``col_emb``), the banded
     transpose via ``Transposed`` (optional ``row_emb`` embedding this
-    matrix's rows into its column space), then gather-path ELL.
+    matrix's rows into its column space), small dense (MXU), and the
+    gather-path ELL as last resort.  Cost model: stored elements streamed
+    per matvec, with the gather path penalized by its measured ~50x
+    per-element slowdown.
     """
     from .sparse import ELL
 
@@ -306,10 +360,22 @@ def device_matrix(
     coo = A.tocoo()
     if coo.nnz == 0:
         return DIA(jnp.zeros((1, n), dtype=dtype), (0,), n, m, None)
-    if _dia_feasible(coo, col_emb, max_diags, min_fill):
-        return DIA.from_csr(A, dtype, col_emb=col_emb)
+
+    candidates = []  # (cost, order, builder)
+    c = _dia_cost(coo, col_emb, max_diags)
+    if c is not None:
+        candidates.append((c, 0, lambda: DIA.from_csr(A, dtype, col_emb=col_emb)))
     At = A.T.tocsr()
-    cooT = At.tocoo()
-    if _dia_feasible(cooT, row_emb, max_diags, min_fill):
-        return Transposed(DIA.from_csr(At, dtype, col_emb=row_emb))
-    return ELL.from_csr(A, dtype)
+    ct = _dia_cost(At.tocoo(), row_emb, max_diags)
+    if ct is not None:
+        candidates.append(
+            (ct, 1, lambda: Transposed(DIA.from_csr(At, dtype, col_emb=row_emb)))
+        )
+    if n * m <= dense_max:
+        candidates.append((n * m, 2, lambda: Dense.from_csr(A, dtype)))
+    # ELL: padded nnz, gather penalty ~50x per element
+    counts = np.diff(A.indptr)
+    L = max(int(counts.max()) if n else 1, 1)
+    candidates.append((50 * n * L, 3, lambda: ELL.from_csr(A, dtype)))
+    candidates.sort(key=lambda t: (t[0], t[1]))
+    return candidates[0][2]()

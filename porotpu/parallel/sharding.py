@@ -26,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.dia import DIA, Transposed
+from ..ops.dia import DIA, Dense, Transposed
 from ..ops.sparse import ELL, FieldMatrix
 from ..precond.amg import AMG, AMGLevel
 from ..precond.block import BlockPreconditioner
@@ -67,6 +67,8 @@ def shard_ell(E, mesh: Mesh):
 
     if isinstance(E, Transposed):
         return Transposed(shard_ell(E.inner, mesh))
+    if isinstance(E, Dense):
+        return Dense(_put(E.data, ("rows", None)))
     if isinstance(E, DIA):
         emb = E.col_emb
         if emb is not None:

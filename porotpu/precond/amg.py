@@ -131,14 +131,41 @@ def _aggregate(S: sp.csr_matrix) -> np.ndarray:
     return agg
 
 
-def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
+def _aggregate_boxes(coords: np.ndarray, h_box: float) -> np.ndarray:
+    """Lattice-box aggregation: nodes sharing a quantized coordinate box
+    form one aggregate; aggregate ids follow (z, y, x)-lex box order.
+
+    TPU-first replacement for greedy strength-graph aggregation on
+    (quasi-)structured meshes: regular box aggregates keep the smoothed
+    prolongator's offset set small and the Galerkin coarse operators
+    banded under the induced lex coarse numbering, so every AMG level
+    stays in gather-free DIA storage (ops/dia.py).
+    """
+    key = np.floor((coords - coords.min(axis=0)) / max(h_box, 1e-300))
+    key = key.astype(np.int64)[:, ::-1]  # (z, y, x): z primary, like dofs
+    _, agg = np.unique(key, axis=0, return_inverse=True)
+    return agg
+
+
+def _node_spacing(coords: np.ndarray) -> float:
+    """Typical nearest-neighbor spacing of lex-ordered lattice nodes."""
+    if coords.shape[0] < 2:
+        return 1.0
+    d = np.linalg.norm(np.diff(coords, axis=0), axis=1)
+    d = d[d > 0]
+    return float(np.median(d)) if d.size else 1.0
+
+
+def _tentative_prolongator(dof_agg: np.ndarray, B: np.ndarray):
     """Build T (n_dofs x n_coarse) with per-aggregate orthonormal columns.
 
-    B: (n_dofs, k) near-nullspace. Returns (T csr, B_coarse (n_coarse, k),
-    emb (n_coarse,) int64): emb maps each coarse column to a distinct fine
-    dof of its aggregate — the column embedding that makes T (and the
+    dof_agg: (n_dofs,) aggregate id per dof.  B: (n_dofs, k) near-nullspace.
+    Returns (T csr, B_coarse (n_coarse, k), emb (n_coarse,) int64,
+    node_of (n_coarse,) int64): emb maps each coarse column to a distinct
+    fine dof of its aggregate — the column embedding that makes T (and the
     smoothed P) banded in DIA storage (ops/dia.py), since aggregate members
-    are lattice-near under the lex node numbering.
+    are lattice-near under the lex node numbering; node_of maps each coarse
+    dof to its aggregate (= coarse node) for the next level.
 
     Rank-revealing: the per-aggregate basis comes from a batched SVD and
     near-zero singular directions are dropped.  A BC-zeroed near-nullspace
@@ -147,12 +174,9 @@ def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
     are all constrained, making the Galerkin coarse operator singular —
     the round-1 footing crash.
     """
-    nn = agg.size
-    n = nn * d
+    n = dof_agg.size
     k = B.shape[1]
-    na = int(agg.max()) + 1
-    # dof -> aggregate
-    dof_agg = np.repeat(agg, d)
+    na = int(dof_agg.max()) + 1
     order = np.argsort(dof_agg, kind="stable")
     sizes = np.bincount(dof_agg, minlength=na)  # dofs per aggregate
     maxs = int(sizes.max())
@@ -196,7 +220,9 @@ def _tentative_prolongator(agg: np.ndarray, d: int, B: np.ndarray):
     ranks = (np.cumsum(keep, axis=1) - 1)[keep]
     emb = np.zeros(max(n_coarse, 1), dtype=np.int64)
     emb[col_of[keep]] = order[starts[aa] + ranks]
-    return T, Bc, emb
+    node_of = np.zeros(max(n_coarse, 1), dtype=np.int64)
+    node_of[col_of[keep]] = aa
+    return T, Bc, emb, node_of
 
 
 def _power_lmax(A: sp.csr_matrix, dinv: np.ndarray, iters=15, seed=0) -> float:
@@ -309,9 +335,16 @@ def amg_setup(
     coarse_size: int = 2000,
     presmooth: int = 1,
     postsmooth: int = 1,
+    coords: np.ndarray | None = None,
+    h0: float | None = None,
+    box_factor: float = 3.0,
     dtype=jnp.float32,
 ) -> AMG:
     """Build a smoothed-aggregation AMG hierarchy for SPD-ish A.
+
+    ``coords`` (n_nodes, dim): when given, coarsening uses lattice-box
+    aggregation (_aggregate_boxes) so every level and prolongator stays in
+    banded DIA storage; otherwise greedy strength-graph aggregation.
 
     Restriction is applied matrix-free as P^T (scatter-add), halving the
     device footprint; the coarsest level is a dense LU solve.
@@ -330,30 +363,56 @@ def amg_setup(
 
     levels = []
     max_dense = max(coarse_size * 4, 6000)
+    # coords-driven lattice-box coarsening state (see _aggregate_boxes)
+    use_boxes = coords is not None
+    if use_boxes:
+        coords = np.asarray(coords, dtype=np.float64)
+        node_of_dof = np.repeat(np.arange(coords.shape[0]), d)
+        if node_of_dof.size != A.shape[0]:
+            raise ValueError("coords size does not match A / dofs_per_node")
+        h_node = _node_spacing(coords) if h0 is None else float(h0)
+
     while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
-        # rank-revealing column drops can leave a coarse dof count that is
-        # not a multiple of the nominal block size; collapse per-dof then
-        if A.shape[0] % d != 0:
-            d = 1
-        C = _node_graph(A, d)
-        S = _strength(C, theta)
-        agg = _aggregate(S)
-        na = int(agg.max()) + 1
-        # coarsening stall guard: mass-dominated blocks (e.g. the fluid
-        # Darcy-drag block) produce near-empty strength graphs whose
-        # singleton aggregates would generate a chain of near-dense coarse
-        # operators; stop and solve the current level directly instead
-        if na * B.shape[1] >= A.shape[0] or na > 0.7 * C.shape[0]:
-            if A.shape[0] > max_dense:
-                # one retry with a looser strength threshold
-                S = _strength(C, theta / 4.0)
-                agg = _aggregate(S)
-                na = int(agg.max()) + 1
-                if na * B.shape[1] >= A.shape[0] or na > 0.7 * C.shape[0]:
+        if use_boxes:
+            agg = None
+            # grow the box until it actually coarsens (pathological local
+            # refinement can leave 1-node boxes at the base scale)
+            for grow in range(4):
+                cand = _aggregate_boxes(coords, box_factor * h_node * 2**grow)
+                if int(cand.max()) + 1 <= 0.7 * coords.shape[0]:
+                    agg = cand
+                    h_node = box_factor * h_node * 2**grow
                     break
-            else:
+            if agg is None:
                 break
-        T, Bc, emb = _tentative_prolongator(agg, d, B)
+            dof_agg = agg[node_of_dof]
+        else:
+            # rank-revealing column drops can leave a coarse dof count that
+            # is not a multiple of the nominal block size; collapse per-dof
+            if A.shape[0] % d != 0:
+                d = 1
+            C = _node_graph(A, d)
+            S = _strength(C, theta)
+            agg = _aggregate(S)
+            na = int(agg.max()) + 1
+            # coarsening stall guard: mass-dominated blocks (e.g. the fluid
+            # Darcy-drag block) produce near-empty strength graphs whose
+            # singleton aggregates would generate a chain of near-dense
+            # coarse operators; stop and solve this level directly instead
+            if na * B.shape[1] >= A.shape[0] or na > 0.7 * C.shape[0]:
+                if A.shape[0] > max_dense:
+                    # one retry with a looser strength threshold
+                    S = _strength(C, theta / 4.0)
+                    agg = _aggregate(S)
+                    na = int(agg.max()) + 1
+                    if na * B.shape[1] >= A.shape[0] or na > 0.7 * C.shape[0]:
+                        break
+                else:
+                    break
+            dof_agg = np.repeat(agg, d)
+        T, Bc, emb, node_of_coarse = _tentative_prolongator(dof_agg, B)
+        if T.shape[1] >= A.shape[0]:
+            break
         diag = np.asarray(A.diagonal())
         diag[diag == 0] = 1.0
         dinv = 1.0 / diag
@@ -373,6 +432,16 @@ def amg_setup(
         A = Ac
         B = Bc
         d = B.shape[1]
+        if use_boxes:
+            # coarse node coords = aggregate centroids; next boxes 1 scale up
+            na = int(agg.max()) + 1
+            cnt = np.bincount(agg, minlength=na).astype(np.float64)
+            cen = np.stack(
+                [np.bincount(agg, weights=coords[:, j], minlength=na) for j in range(coords.shape[1])],
+                axis=1,
+            ) / cnt[:, None]
+            coords = cen
+            node_of_dof = node_of_coarse
 
     # coarsest: dense inverse (host f64 factorization, device matvec).
     # Singularity-proof: an exactly/nearly singular Galerkin coarse matrix

@@ -134,6 +134,7 @@ def build_inner_solver(
     cfg: InnerConfig,
     dofs_per_node: int = 1,
     near_nullspace: np.ndarray | None = None,
+    coords: np.ndarray | None = None,
     dtype=jnp.float32,
 ) -> InnerSolver:
     """Factory: host setup (factorization / AMG hierarchy / spectrum)."""
@@ -184,6 +185,7 @@ def build_inner_solver(
             coarse_size=cfg.amg_coarse_size,
             presmooth=cfg.amg_presmooth,
             postsmooth=cfg.amg_postsmooth,
+            coords=coords,
             dtype=dtype,
         )
         # reuse the hierarchy's fine-level operator instead of a second

@@ -68,6 +68,8 @@ def build_schur_fieldsplit(
     cfg_S: InnerConfig,
     dofs_per_node_f: int = 1,
     near_nullspace_f=None,
+    coords_f=None,
+    coords_p=None,
     row_emb_pf=None,
     dtype=jnp.float32,
 ) -> SchurFieldsplit:
@@ -77,9 +79,10 @@ def build_schur_fieldsplit(
         cfg_f,
         dofs_per_node=dofs_per_node_f,
         near_nullspace=near_nullspace_f,
+        coords=coords_f,
         dtype=dtype,
     )
-    solve_S = build_inner_solver(S, cfg_S, dtype=dtype)
+    solve_S = build_inner_solver(S, cfg_S, coords=coords_p, dtype=dtype)
     # Apf (pressure rows x fluid cols) is tall-skinny transposed: store its
     # banded transpose under the P1->P2 row embedding (ops/dia.py)
     return SchurFieldsplit(

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from porotpu.models.subsystems import solid_problem
-from porotpu.ops.sparse import ELL
+from porotpu.ops import device_matrix
 from porotpu.precond.amg import rigid_body_modes
 from porotpu.precond.inner import InnerConfig, build_inner_solver
 from porotpu.solvers import cg
@@ -40,8 +40,10 @@ def main():
 
     tt = time.perf_counter()
     B = rigid_body_modes(V.node_coords)
-    M = build_inner_solver(A, cfg, dofs_per_node=3, near_nullspace=B, dtype=dtype)
-    E = ELL.from_csr(A, dtype)
+    M = build_inner_solver(
+        A, cfg, dofs_per_node=3, near_nullspace=B, coords=V.node_coords, dtype=dtype
+    )
+    E = device_matrix(A, dtype)
     # operators passed as pytree args (not closure constants) to avoid
     # baking the sparse data into the executable
     solve = jax.jit(

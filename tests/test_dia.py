@@ -83,21 +83,25 @@ def test_dia_col_emb_rect():
 
 
 def test_device_matrix_dispatch():
+    from porotpu.ops import Dense
+
     rng = np.random.default_rng(3)
     n = 150
     A = banded_random(n, [-2, 0, 2], rng)
     assert isinstance(device_matrix(A, jnp.float64), DIA)
-    # scrambled columns: not banded -> ELL fallback
+    # scrambled columns: not banded -> small blocks go dense (MXU)
     perm = rng.permutation(n)
     B = A.tocoo()
     B = sp.csr_matrix((B.data, (B.row, perm[B.col])), shape=(n, n))
-    assert isinstance(device_matrix(B, jnp.float64, max_diags=8), ELL)
+    dev = device_matrix(B, jnp.float64, max_diags=8)
+    assert isinstance(dev, Dense)
     x = rng.normal(size=n)
-    np.testing.assert_allclose(
-        device_matrix(B, jnp.float64, max_diags=8).matvec(jnp.asarray(x)),
-        B @ x,
-        rtol=1e-12,
-    )
+    np.testing.assert_allclose(dev.matvec(jnp.asarray(x)), B @ x, rtol=1e-12)
+    np.testing.assert_allclose(dev.rmatvec(jnp.asarray(x)), B.T @ x, rtol=1e-12)
+    # too large for dense -> ELL last resort
+    dev2 = device_matrix(B, jnp.float64, max_diags=8, dense_max=100)
+    assert isinstance(dev2, ELL)
+    np.testing.assert_allclose(dev2.matvec(jnp.asarray(x)), B @ x, rtol=1e-12)
 
 
 def test_device_matrix_transposed_row_emb():
