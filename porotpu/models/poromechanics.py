@@ -217,15 +217,23 @@ class Poromechanics(AbstractPhysics):
         """
         p = self.parameters
         odb = p.get("options db")
+        cfg = None
         if odb is not None:
             cfg = odb.inner_config(block)
-            if cfg is not None:
-                return cfg
-        return InnerConfig.from_reference_options(
-            p.get("inner ksp type", "gmres"),
-            p.get("inner pc type", "hypre"),
-            int(p.get("inner maxiter", 10)),
-        )
+        if cfg is None:
+            cfg = InnerConfig.from_reference_options(
+                p.get("inner ksp type", "gmres"),
+                p.get("inner pc type", "hypre"),
+                int(p.get("inner maxiter", 10)),
+            )
+        # explicit fixed inner iteration count (the jit-friendly stand-in
+        # for the reference's tolerance-based inner KSP, SURVEY §7): the
+        # inexact philosophy is *loose* inner solves, so this is the main
+        # PC cost/quality knob
+        ii = p.get("inner iters")
+        if ii is not None and cfg.method in ("cg", "cg+amg", "chebyshev", "amg"):
+            cfg.iters = int(ii)
+        return cfg
 
     def _padded_coords(self, space, n_pad_nodes):
         """Node coordinates extended with pad-node coords placed beyond the
