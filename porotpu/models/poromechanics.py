@@ -508,6 +508,14 @@ class Poromechanics(AbstractPhysics):
                 return False
             self.A_dev = st["A_dev"]
             self.pc = st["pc"]
+            # the cache stores the PC built with whatever "inner iters" was
+            # live at save time; re-apply the current setting (aux-only
+            # rebuild, device payloads reused)
+            ii = self.parameters.get("inner iters")
+            if ii is not None:
+                from ..precond.inner import remap_inner_iters
+
+                self.pc = remap_inner_iters(self.pc, int(ii))
             self.H_dev = st["H_dev"]
             self.bc_dofs = st["bc_dofs"]
             self.bc_vals = st["bc_vals"]

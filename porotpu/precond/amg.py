@@ -293,13 +293,14 @@ class AMG:
 
     # -- smoothing: Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A ------------
 
-    def _smooth(self, lvl: AMGLevel, b, x, iters):
+    def _smooth(self, lvl: AMGLevel, b, x, iters, x_is_zero=False):
         lmin = lvl.lmax / 4.0
         lmax = 1.1 * lvl.lmax
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma1 = theta / delta
-        r = b - lvl.A.matvec(x)
+        # presmoothing starts from x=0: r = b exactly, skip the matvec
+        r = b if x_is_zero else b - lvl.A.matvec(x)
         d = (lvl.dinv * r) / theta
         rho = 1.0 / sigma1
         for _ in range(iters):
@@ -314,7 +315,7 @@ class AMG:
         if li == len(self.levels):
             return self.coarse_inv @ b
         lvl = self.levels[li]
-        x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth)
+        x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth, x_is_zero=True)
         r = b - lvl.A.matvec(x)
         bc = lvl.P.rmatvec(r)  # restriction = P^T r
         xc = self._cycle(li + 1, bc)

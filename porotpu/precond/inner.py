@@ -129,6 +129,37 @@ class InnerSolver:
         raise ValueError(f"unknown inner solver kind {self.kind}")
 
 
+def remap_inner_iters(obj, iters: int):
+    """Rebuild a PC pytree with a new static inner-iteration count.
+
+    Aux-only change: AMG hierarchies and device payloads are reused as-is,
+    so this is free (no host setup, no uploads).  Used to apply the
+    ``inner iters`` parameter to preconditioners restored from a solver
+    cache that was built with a different count.
+    """
+    from .block import BlockPreconditioner
+    from .schur import SchurFieldsplit
+
+    if isinstance(obj, InnerSolver):
+        if obj.kind in ("cg+amg", "cg", "chebyshev"):
+            return InnerSolver(obj.kind, obj.payload, iters, obj.lmax, obj.cheb_frac)
+        return obj
+    if isinstance(obj, SchurFieldsplit):
+        return SchurFieldsplit(
+            obj.nf,
+            remap_inner_iters(obj.solve_f, iters),
+            remap_inner_iters(obj.solve_S, iters),
+            obj.Apf,
+        )
+    if isinstance(obj, BlockPreconditioner):
+        children, aux = obj.tree_flatten()
+        children = tuple(
+            remap_inner_iters(c, iters) if c is not None else None for c in children
+        )
+        return BlockPreconditioner.tree_unflatten(aux, children)
+    return obj
+
+
 def build_inner_solver(
     A: sp.csr_matrix,
     cfg: InnerConfig,
