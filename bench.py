@@ -37,14 +37,25 @@ def main():
     from porotpu.models import benchmarks
     from porotpu.utils import cache
 
+    # inner operating point (tuned on-device, tools/tune_inner.py):
+    # ONE AMG V-cycle applied directly (ksp preonly) per field block per PC
+    # apply — 8 outer FGMRES iterations instead of 6, but each a fraction
+    # of the cost of the 10-inner-CG+AMG-iteration configuration
+    inner_ksp = os.environ.get("BENCH_INNER_KSP", "preonly")
+    inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "1"))
+
     t0 = time.perf_counter()
-    key = cache.config_key(bench="swelling3d", N=N, schema=2)
+    key = cache.config_key(
+        bench="swelling3d", N=N, schema=3, ksp=inner_ksp, ii=inner_iters
+    )
     cpath = f".cache/bench_{key}.pkl"
     problem = benchmarks.swelling_3d(
         Nelements=N,
         overrides={
             "pc type": "diagonal",
+            "inner ksp type": inner_ksp,
             "inner pc type": "hypre",
+            "inner iters": inner_iters,
             "solver rtol": 1e-6,
             "solver atol": 1e-8,
             "solver maxiter": 100,
@@ -77,15 +88,36 @@ def main():
         f"res={float(res.res):.3e}"
     )
 
-    # timed solves
+    # timed solves — each repetition uses a *distinct* RHS (tiny relative
+    # perturbations, same convergence behavior) so any result-dedup cache
+    # in the device transport cannot return a stale answer without running
+    # the computation
+    bs = [b * (1.0 + 1e-6 * (i + 1)) for i in range(3)]
+    for bi in bs:
+        bi.block_until_ready()
     times = []
-    for _ in range(3):
+    for bi in bs:
         t0 = time.perf_counter()
-        res = problem._jit_solve(problem.A_dev, problem.pc, b, x0)
+        res = problem._jit_solve(problem.A_dev, problem.pc, bi, x0)
         res.x.block_until_ready()
         times.append(time.perf_counter() - t0)
     solve_s = min(times)
     iters = int(res.iters)
+    log("per-rep solve times: " + ", ".join(f"{t:.4f}s" for t in times))
+
+    # correctness guard: recompute the solver's own convergence measure
+    # (field-wise inf-norm test, reference lib/Solver.py:8-51) from the
+    # TRUE residual b - A x of the last timed solve — a solve that "timed
+    # fast" but did not actually run/converge cannot pass this
+    from porotpu.solvers.convergence import FieldwiseTest
+
+    fw = FieldwiseTest.from_sizes(problem.padded_sizes, bs[-1])
+    rvec = bs[-1] - problem.A_dev.matvec(res.x)
+    ea, er = fw.errors(rvec)
+    log(f"true residual fieldwise: abs={float(ea):.3e} rel={float(er):.3e}")
+    if not bool(res.converged) or not (float(ea) < 1e-7 or float(er) < 1e-5):
+        log("BENCH INVALID: solve did not converge to a correct solution")
+        sys.exit(1)
 
     # SpMV throughput on the block operator
     A = problem.A_dev

@@ -114,6 +114,7 @@ class Poromechanics(AbstractPhysics):
         self.bcs_sub_pressure = np.zeros(0, dtype=np.int64)
         self.iteration_log = []
         self.t_solve_total = 0.0
+        self.pc_applies = 0  # cumulative PC applications (one per Krylov it)
 
     # ------------------------------------------------------------------
     def set_bcs(self, bcs, bcs_diff):
@@ -233,6 +234,10 @@ class Poromechanics(AbstractPhysics):
         ii = p.get("inner iters")
         if ii is not None and cfg.method in ("cg", "cg+amg", "chebyshev", "amg"):
             cfg.iters = int(ii)
+            if cfg.method == "amg":
+                # preonly-AMG applies cfg.sweeps V-cycles per PC apply
+                # (build_inner_solver); map the knob there too
+                cfg.sweeps = int(ii)
         return cfg
 
     def _padded_coords(self, space, n_pad_nodes):
@@ -532,6 +537,13 @@ class Poromechanics(AbstractPhysics):
 
     def _finalize_solver(self):
         p = self.parameters
+        if bool(p.get("inner monitor", False)):
+            # per-apply inner-solve residual monitoring from inside the
+            # jitted solve (reference inner KSP monitors,
+            # lib/Preconditioner.py:94-100 + lib/Parser.py:27-28)
+            from ..precond.inner import set_inner_monitor
+
+            self.pc = set_inner_monitor(self.pc, True)
         solver_type = p.get("solver type", "gmres")
         rtol = float(p.get("solver rtol", 1e-6))
         atol = float(p.get("solver atol", 1e-8))
@@ -572,6 +584,7 @@ class Poromechanics(AbstractPhysics):
                     atol=atol,
                     maxiter=maxiter,
                     pc_accel_order=int(p.get("inner accel order", 0)),
+                    divtol=float(p.get("solver divtol", 1e20)),
                 )
             if solver_type == "cg":
                 return cg(
@@ -583,20 +596,39 @@ class Poromechanics(AbstractPhysics):
                     atol=atol,
                     maxiter=maxiter,
                     fieldwise=fw,
+                    divtol=float(p.get("solver divtol", 1e20)),
                 )
             # gmres / fgmres: inner solves are iterative => flexible variant
             # (reference uses gmres; with non-constant PC fgmres is the
-            # correct analogue)
+            # correct analogue).  Default restart 50: memory-sane on one
+            # chip (an unrestarted (maxiter+1, n) basis at 500k dofs is
+            # ~GBs of HBM); the reference's restart = maxiter remains
+            # available via the "gmres restart" key (lib/Solver.py:100).
+            # "inner accel order" (lib/Preconditioner.py:248-249) is threaded
+            # into the PC application here, but through the *flexible*
+            # reconstruction: Anderson-mixing the PC output only adds
+            # components from the span of already-stored directions, so the
+            # Arnoldi trace is provably unchanged, while the reference's
+            # non-flexible gmres reconstructs x = x0 + M(V y) with a PC that
+            # no longer matches the directions used to build H and returns a
+            # corrupted solution (reproduced + unit-tested in
+            # tests/test_ops_solvers.py::test_gmres_pc_accel_order; the
+            # reference itself warns ">1 diverges always, 1 works with gmres
+            # only", swelling.py:75).  Where the feature has a real effect —
+            # the AAR fixed-point outer — it is wired and effective (aar()).
+            accel = int(p.get("inner accel order", 0))
             return fgmres(
                 A_dev.matvec,
                 b_dev,
                 x0=x0,
                 M=pc,
-                restart=int(p.get("gmres restart", maxiter)),
+                restart=int(p.get("gmres restart", min(50, maxiter))),
                 rtol=rtol,
                 atol=atol,
                 maxiter=maxiter,
                 fieldwise=fw,
+                divtol=float(p.get("solver divtol", 1e20)),
+                pc_accel_order=accel,
             )
 
         self._solve_fn = _solve  # unjitted (for external jit/sharding wrappers)
@@ -642,6 +674,7 @@ class Poromechanics(AbstractPhysics):
         self.t_solve_total += _time.perf_counter() - t0
 
         self.sol = res.x
+        self.pc_applies += int(res.iters)
         ns_p, nf_p, np_p = self.padded_sizes
         # rotate (padded) history (lib/Poromechanics.py:93-97)
         self.us_nm2 = self.us_nm1
@@ -661,7 +694,13 @@ class Poromechanics(AbstractPhysics):
                 parprint("KSP it {}:   {:.5e}".format(k, float(r)))
             parprint(
                 "---- [Solver] {}".format(
-                    "Converged" if bool(res.converged) else "NOT converged"
+                    "Converged"
+                    if bool(res.converged)
+                    else (
+                        "DIVERGED (residual exceeded divtol)"
+                        if bool(res.diverged)
+                        else "NOT converged"
+                    )
                 )
             )
         return its
@@ -690,5 +729,85 @@ class Poromechanics(AbstractPhysics):
         """Solution vector in the original (unpadded) dof numbering."""
         return np.asarray(self.sol)[self.pad_index]
 
+    def pc_timings(self, reps: int = 10) -> dict:
+        """Per-stage PC apply cost (seconds per application).
+
+        Under jit the whole outer solve is ONE fused XLA computation, so
+        stage wall-times cannot be sampled in-line the way the reference's
+        Python PC callback does (lib/Preconditioner.py:34-39 cumulative
+        t_solid/t_fluid/t_press/t_total).  Instead each inner stage is timed
+        standalone on device with the production operators and shapes; the
+        cumulative numbers printed by print_timings are per-apply cost x
+        recorded PC application count.
+        """
+        from ..precond.block import BlockPreconditioner
+        from ..utils.timers import Timers
+
+        pc = self.pc
+        tm = Timers()
+
+        def bench_fn(name, fn, v):
+            f = jax.jit(fn)
+            x = f(v)
+            x.block_until_ready()
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                x = f(v * (1.0 + 1e-9))  # distinct input: defeat result dedup
+            x.block_until_ready()
+            tm.add(name, (_time.perf_counter() - t0) / reps)
+            return tm.get(name)
+
+        if not isinstance(pc, BlockPreconditioner):
+            v = jnp.ones((sum(self.padded_sizes),), dtype=self.dtype)
+            return {"total": bench_fn("total", pc, v)}
+
+        ns, nf, np_ = pc.ns, pc.nf, pc.np_
+        vs = jnp.ones((ns,), dtype=self.dtype)
+        vf = jnp.ones((nf,), dtype=self.dtype)
+        vp = jnp.ones((np_,), dtype=self.dtype)
+        v = jnp.ones((ns + nf + np_,), dtype=self.dtype)
+        out = {}
+        if pc.three_way:
+            # each 3-way apply solves solid twice, fluid twice, pressure +
+            # diffusion once each (precond/block.py:101-117)
+            out["solid"] = 2 * bench_fn("solid", pc.solve_s, vs)
+            out["fluid"] = 2 * bench_fn("fluid", pc.solve_f, vf)
+            out["pressure"] = bench_fn("pressure", pc.solve_p, vp) + bench_fn(
+                "diff", pc.solve_diff, vp
+            )
+        else:
+            out["solid"] = bench_fn("solid", pc.solve_s, vs)
+            out["fluid-pressure"] = bench_fn(
+                "fluid-pressure", pc.solve_fp, jnp.ones((nf + np_,), self.dtype)
+            )
+        out["total"] = bench_fn("total", pc, v)
+        return out
+
     def print_timings(self):
         parprint("\n===== Timing Solver: {:.3f}s".format(self.t_solve_total))
+        if self.pc_applies > 0 and getattr(self, "pc", None) is not None:
+            # reference PreconditionerCC.print_timings format
+            # (lib/Preconditioner.py:252-260)
+            st = self.pc_timings()
+            napp = self.pc_applies
+            parprint(
+                "\n===== Timing preconditioner: {:.3f}s ({} applications)".format(
+                    st["total"] * napp, napp
+                )
+            )
+            if "pressure" in st:
+                parprint(
+                    "\tSolid solver: {:.3f}s\n\tFluid solver: {:.3f}s"
+                    "\n\tPressure solver: {:.3f}s".format(
+                        st["solid"] * napp,
+                        st["fluid"] * napp,
+                        st["pressure"] * napp,
+                    )
+                )
+            elif "fluid-pressure" in st:
+                parprint(
+                    "\tSolid solver: {:.3f}s"
+                    "\n\tFluid-pressure solver: {:.3f}s".format(
+                        st["solid"] * napp, st["fluid-pressure"] * napp
+                    )
+                )

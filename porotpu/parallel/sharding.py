@@ -5,11 +5,22 @@ The reference's one parallelism strategy is MPI domain decomposition: a
 exchange and allreduce (SURVEY.md §2.5).  The TPU-native equivalent is a
 1-D device mesh with GSPMD sharding annotations:
 
-- ELL matrix rows and all solver vectors are sharded over the "rows" mesh
+- matrix rows and all solver vectors are sharded over the "rows" mesh
   axis (block-row partition = mesh partition);
-- the gather ``x[cols]`` in SpMV reads across shards -> XLA inserts the
-  all-gather over ICI (halo exchange; an explicit ppermute-based
-  neighbor-halo pipeline is the planned refinement);
+- the production SpMV format is DIA (ops/dia.py): shifted *static slices*
+  of the row-sharded vector, which GSPMD lowers to **collective-permute
+  neighbor halo exchanges** — verified zero all-gathers in the compiled
+  HLO (tests/test_parallel.py::test_sharded_dia_spmv_uses_halo_exchange).
+  Under the lattice-lexicographic numbering a 1-D row partition's halo is
+  exactly the boundary plane, so this is the textbook domain-decomposition
+  halo pipeline (PETSc MatMult VecScatter, lib/AAR.py:135), produced by
+  the compiler from the shift-slice formulation rather than hand-written;
+- rectangular embedded blocks (P1->P2, prolongators) scatter their SMALL
+  input into the row lattice; GSPMD gathers the small side — the analogue
+  of PETSc's VecScatter of the (much smaller) coarse/P1 vector, bounded by
+  the small space size rather than the system size;
+- the gather ``x[cols]`` in the legacy ELL fallback is the one remaining
+  all-gather producer (non-banded blocks only);
 - dot products / norms lower to psum collectives (MPI_Allreduce);
 - the Krylov basis (m+1, n) is sharded over n, so CGS2 orthogonalization
   becomes a sharded matmul + psum;
@@ -97,7 +108,10 @@ def _shard_inner(solver: InnerSolver, mesh: Mesh) -> InnerSolver:
     elif k in ("amg", "cg+amg"):
         out["A"] = shard_ell(out["A"], mesh)
         out["amg"] = shard_amg(out["amg"], mesh)
-    return InnerSolver(k, out, solver.iters, solver.lmax, solver.cheb_frac)
+    return InnerSolver(
+        k, out, solver.iters, solver.lmax, solver.cheb_frac,
+        solver.monitor, solver.label,
+    )
 
 
 def shard_amg(amg: AMG, mesh: Mesh) -> AMG:

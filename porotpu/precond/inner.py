@@ -75,21 +75,46 @@ class InnerConfig:
 
 @jax.tree_util.register_pytree_node_class
 class InnerSolver:
-    """A jit-friendly approximate solve for one (SPD-ish) block."""
+    """A jit-friendly approximate solve for one (SPD-ish) block.
 
-    def __init__(self, kind, payload, iters=0, lmax=1.0, cheb_frac=30.0):
+    ``monitor``/``label``: when enabled, every application prints the final
+    true residual of the inner solve from inside the jitted computation
+    (jax.debug.print) — the TPU-native replacement for the reference's
+    per-inner-KSP-iteration monitors (lib/Preconditioner.py:94-100,
+    inner_monitor; lib/Parser.py:27-28).  Static aux data: zero cost when
+    disabled.
+    """
+
+    def __init__(
+        self, kind, payload, iters=0, lmax=1.0, cheb_frac=30.0,
+        monitor=False, label="",
+    ):
         self.kind = kind  # static
         self.payload = payload  # pytree of device arrays
         self.iters = iters
         self.lmax = lmax
         self.cheb_frac = cheb_frac
+        self.monitor = monitor
+        self.label = label
 
     def tree_flatten(self):
-        return (self.payload,), (self.kind, self.iters, self.lmax, self.cheb_frac)
+        return (self.payload,), (
+            self.kind, self.iters, self.lmax, self.cheb_frac,
+            self.monitor, self.label,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], children[0], aux[1], aux[2], aux[3])
+        return cls(aux[0], children[0], *aux[1:])
+
+    def _monitored(self, b, x):
+        if self.monitor and "A" in self.payload:
+            r = b - self.payload["A"].matvec(x)
+            jax.debug.print(
+                "  [inner " + (self.label or self.kind) + "] |r|={r:.4e}",
+                r=jnp.linalg.norm(r),
+            )
+        return x
 
     def __call__(self, b):
         k = self.kind
@@ -104,28 +129,32 @@ class InnerSolver:
         if k == "chebyshev":
             A = self.payload["A"]
             dinv = self.payload["dinv"]
-            return chebyshev(
+            return self._monitored(b, chebyshev(
                 A.matvec,
                 b,
                 self.lmax / self.cheb_frac,
                 1.1 * self.lmax,
                 iters=self.iters,
                 M=lambda r: dinv * r,
-            )
+            ))
         if k == "cg":
             A = self.payload["A"]
             dinv = self.payload["dinv"]
-            return cg_fixed(A.matvec, b, M=lambda r: dinv * r, iters=self.iters)
+            return self._monitored(
+                b, cg_fixed(A.matvec, b, M=lambda r: dinv * r, iters=self.iters)
+            )
         if k == "amg":
             amg = self.payload["amg"]
             x = amg(b)
             for _ in range(self.iters - 1):
                 x = x + amg(b - self.payload["A"].matvec(x))
-            return x
+            return self._monitored(b, x)
         if k == "cg+amg":
             A = self.payload["A"]
             amg = self.payload["amg"]
-            return cg_fixed(A.matvec, b, M=amg, iters=self.iters)
+            return self._monitored(
+                b, cg_fixed(A.matvec, b, M=amg, iters=self.iters)
+            )
         raise ValueError(f"unknown inner solver kind {self.kind}")
 
 
@@ -141,8 +170,11 @@ def remap_inner_iters(obj, iters: int):
     from .schur import SchurFieldsplit
 
     if isinstance(obj, InnerSolver):
-        if obj.kind in ("cg+amg", "cg", "chebyshev"):
-            return InnerSolver(obj.kind, obj.payload, iters, obj.lmax, obj.cheb_frac)
+        if obj.kind in ("cg+amg", "cg", "chebyshev", "amg"):
+            return InnerSolver(
+                obj.kind, obj.payload, iters, obj.lmax, obj.cheb_frac,
+                obj.monitor, obj.label,
+            )
         return obj
     if isinstance(obj, SchurFieldsplit):
         return SchurFieldsplit(
@@ -157,6 +189,44 @@ def remap_inner_iters(obj, iters: int):
             remap_inner_iters(c, iters) if c is not None else None for c in children
         )
         return BlockPreconditioner.tree_unflatten(aux, children)
+    return obj
+
+
+def set_inner_monitor(obj, enable: bool, label: str = ""):
+    """Rebuild a PC pytree with inner-solve monitoring toggled.
+
+    Labels follow the reference's per-field KSP prefixes s_/f_/p_/diff_/fp_
+    (lib/Preconditioner.py:77-92).  Aux-only change: device payloads are
+    shared, so this is free.
+    """
+    from .block import BlockPreconditioner
+    from .schur import SchurFieldsplit
+
+    if isinstance(obj, InnerSolver):
+        return InnerSolver(
+            obj.kind, obj.payload, obj.iters, obj.lmax, obj.cheb_frac,
+            enable, label or obj.label,
+        )
+    if isinstance(obj, SchurFieldsplit):
+        return SchurFieldsplit(
+            obj.nf,
+            set_inner_monitor(obj.solve_f, enable, (label or "fp") + "_f"),
+            set_inner_monitor(obj.solve_S, enable, (label or "fp") + "_S"),
+            obj.Apf,
+        )
+    if isinstance(obj, BlockPreconditioner):
+        names = {
+            "solve_s": "s", "solve_fp": "fp", "solve_f": "f",
+            "solve_p": "p", "solve_diff": "diff",
+        }
+        new = BlockPreconditioner.tree_unflatten(*reversed(obj.tree_flatten()))
+        for attr, lab in names.items():
+            child = getattr(new, attr)
+            if child is not None and isinstance(
+                child, (InnerSolver, SchurFieldsplit)
+            ):
+                setattr(new, attr, set_inner_monitor(child, enable, lab))
+        return new
     return obj
 
 

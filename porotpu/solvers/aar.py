@@ -44,6 +44,7 @@ def aar(
     atol: float = 1e-12,
     maxiter: int = 1000,
     pc_accel_order: int = 0,
+    divtol: float = 1e20,
 ):
     """Solve A x = b with the preconditioned AAR method.
 
@@ -64,6 +65,10 @@ def aar(
     f_unprec = b - A(x0)
     error0 = jnp.linalg.norm(f_unprec)
     error0 = jnp.where(error0 > 0, error0, 1.0)
+    # initial fk for the first Anderson pair is the *preconditioned*
+    # residual, like the reference's first f (lib/AAR.py:133-137); error0
+    # above stays unpreconditioned (lib/AAR.py:56-58)
+    f0_prec = M(f_unprec)
 
     X0 = jnp.zeros((m, n), dtype=dt)
     F0 = jnp.zeros((m, n), dtype=dt)
@@ -72,7 +77,12 @@ def aar(
 
     def cond(c):
         X, F, xk, fk, prev_dx, nh, it, err_abs, err_rel, hist, ast = c
-        return (err_abs > atol) & (err_rel > rtol) & (it < maxiter)
+        return (
+            (err_abs > atol)
+            & (err_rel > rtol)
+            & (err_abs <= divtol)
+            & (it < maxiter)
+        )
 
     def body(c):
         X, F, xk, fk_old, prev_dx, nh, it, _, _, hist, ast = c
@@ -110,7 +120,7 @@ def aar(
         X0,
         F0,
         x0,
-        f_unprec,
+        f0_prec,
         jnp.zeros(n, dtype=dt),
         jnp.int32(0),
         jnp.int32(0),
@@ -123,4 +133,4 @@ def aar(
         jax.lax.while_loop(cond, body, init)
     )
     converged = (err_abs <= atol) | (err_rel <= rtol)
-    return SolveResult(xk, it, err_abs, converged, history)
+    return SolveResult(xk, it, err_abs, converged, history, err_abs > divtol)

@@ -27,13 +27,16 @@ def cg(
     atol=0.0,
     maxiter=100,
     fieldwise: FieldwiseTest | None = None,
+    divtol=1e20,
 ):
     """Solve A x = b with preconditioned CG.
 
     A, M: callables array->array.  Convergence on the unpreconditioned
     residual 2-norm (or the field-wise inf-norm test when ``fieldwise``
     is given — reference lib/Solver.py:8-51 semantics: converge when
-    error_abs < atol OR error_rel < rtol).
+    error_abs < atol OR error_rel < rtol).  Exits early with
+    result.diverged=True when error_abs > ``divtol``
+    (reference lib/Solver.py:46-48).
     """
     n = b.shape[0]
     dt = b.dtype
@@ -60,11 +63,11 @@ def cg(
     history = history.at[0].set(rn0.astype(jnp.float32))
 
     def cond(c):
-        x, r, z, p, rz, k, done, hist = c
-        return (~done) & (k < maxiter)
+        x, r, z, p, rz, k, done, div, hist = c
+        return (~done) & (~div) & (k < maxiter)
 
     def body(c):
-        x, r, z, p, rz, k, done, hist = c
+        x, r, z, p, rz, k, done, div, hist = c
         Ap = A(p)
         pAp = jnp.vdot(p, Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
@@ -76,15 +79,16 @@ def cg(
         p = z + beta * p
         d, rn = res_ok(r)
         hist = hist.at[k + 1].set(rn.astype(jnp.float32))
-        return (x, r, z, p, rz_new, k + 1, d, hist)
+        return (x, r, z, p, rz_new, k + 1, d, rn > divtol, hist)
 
-    x, r, z, p, rz, k, done, history = jax.lax.while_loop(
+    x, r, z, p, rz, k, done, div, history = jax.lax.while_loop(
         cond,
         body,
-        (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.int32(0), done0, history),
+        (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.int32(0), done0,
+         rn0 > divtol, history),
     )
     _, rn = res_ok(r)
-    return SolveResult(x, k, rn, done, history)
+    return SolveResult(x, k, rn, done, history, div)
 
 
 def cg_fixed(A, b, x0=None, M=None, iters: int = 10):

@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .anderson import AndersonAccelerator
 from .convergence import FieldwiseTest
 from .result import SolveResult
 
@@ -50,6 +51,8 @@ def _gmres_impl(
     maxiter,
     flexible,
     fieldwise,
+    divtol=1e20,
+    pc_accel_order=0,
 ):
     n = b.shape[0]
     dt = b.dtype
@@ -57,8 +60,13 @@ def _gmres_impl(
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(atol, rtol * bnorm)
     history = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
+    # Anderson acceleration of the preconditioner output — the reference
+    # applies "inner accel order" to *every* PC apply regardless of the
+    # outer solver (lib/Preconditioner.py:28,248-249); state is threaded
+    # through the Arnoldi loop carry (functional, jit-safe).
+    acc = AndersonAccelerator(pc_accel_order) if pc_accel_order > 0 else None
 
-    def cycle(x0c, it0, history):
+    def cycle(x0c, it0, history, ast0):
         r0 = b - A(x0c)
         beta = jnp.linalg.norm(r0)
         V = jnp.zeros((m + 1, n), dtype=dt)
@@ -77,16 +85,19 @@ def _gmres_impl(
         else:
             done0 = beta <= tol
             res0 = beta
+        div0 = res0 > divtol
         history = history.at[it0].set(res0.astype(jnp.float32))
 
         def cond(c):
-            (V, Z, H, Ho, cs, sn, g, k, res, done, hist) = c
-            return (~done) & (k < m) & (it0 + k < maxiter)
+            (V, Z, H, Ho, cs, sn, g, k, res, done, div, hist, ast) = c
+            return (~done) & (~div) & (k < m) & (it0 + k < maxiter)
 
         def body(c):
-            (V, Z, H, Ho, cs, sn, g, k, res, done, hist) = c
+            (V, Z, H, Ho, cs, sn, g, k, res, done, div, hist, ast) = c
             v = V[k]
             z = M(v)
+            if acc is not None:
+                ast, z = acc.step(ast, z)
             w = A(z)
             if flexible:
                 Z2 = Z.at[k].set(z)
@@ -139,11 +150,12 @@ def _gmres_impl(
             else:
                 done2 = res2 <= tol
                 res_rep = res2
+            div2 = res_rep > divtol
             hist = hist.at[it0 + k + 1].set(res_rep.astype(jnp.float32))
-            return (V2, Z2, H2, Ho2, cs2, sn2, g2, k + 1, res_rep, done2, hist)
+            return (V2, Z2, H2, Ho2, cs2, sn2, g2, k + 1, res_rep, done2, div2, hist, ast)
 
-        carry = (V, Z, H, Ho, cs, sn, g, jnp.int32(0), res0, done0, history)
-        (V, Z, H, Ho, cs, sn, g, k, res, done, history) = jax.lax.while_loop(
+        carry = (V, Z, H, Ho, cs, sn, g, jnp.int32(0), res0, done0, div0, history, ast0)
+        (V, Z, H, Ho, cs, sn, g, k, res, done, div, history, ast) = jax.lax.while_loop(
             cond, body, carry
         )
 
@@ -152,16 +164,21 @@ def _gmres_impl(
             dx = y @ Z
         else:
             dx = M(y[: m] @ V[:m])
-        return x0c + dx, it0 + k, res, done, history
+            if acc is not None:
+                # PETSc-parity: the final right-PC application goes through
+                # the same (stateful) accelerated PC context
+                # (lib/Preconditioner.py:248-249 under KSPBuildSolution)
+                ast, dx = acc.step(ast, dx)
+        return x0c + dx, it0 + k, res, done, div, history, ast
 
     def outer_cond(c):
-        x, it, res, done, hist = c
-        return (~done) & (it < maxiter)
+        x, it, res, done, div, hist, ast = c
+        return (~done) & (~div) & (it < maxiter)
 
     def outer_body(c):
-        x, it, res, done, hist = c
-        x, it, res, done, hist = cycle(x, it, hist)
-        return (x, it, res, done, hist)
+        x, it, res, done, div, hist, ast = c
+        x, it, res, done, div, hist, ast = cycle(x, it, hist, ast)
+        return (x, it, res, done, div, hist, ast)
 
     r_init = b - A(x0)
     if fieldwise is not None:
@@ -171,13 +188,14 @@ def _gmres_impl(
     else:
         res_init = jnp.linalg.norm(r_init)
         done_init = res_init <= tol
+    ast0 = acc.init(n, dtype=dt) if acc else jnp.zeros((), dtype=dt)
 
-    x, it, res, done, history = jax.lax.while_loop(
+    x, it, res, done, div, history, ast = jax.lax.while_loop(
         outer_cond,
         outer_body,
-        (x0, jnp.int32(0), res_init, done_init, history),
+        (x0, jnp.int32(0), res_init, done_init, res_init > divtol, history, ast0),
     )
-    return SolveResult(x, it, res, done, history)
+    return SolveResult(x, it, res, done, history, div)
 
 
 def fgmres(
@@ -190,8 +208,16 @@ def fgmres(
     atol=0.0,
     maxiter=100,
     fieldwise: FieldwiseTest | None = None,
+    divtol=1e20,
+    pc_accel_order: int = 0,
 ):
-    """Flexible GMRES, right-preconditioned (stores Z directions)."""
+    """Flexible GMRES, right-preconditioned (stores Z directions).
+
+    ``divtol``: divergence guard — exit with result.diverged=True when the
+    residual exceeds it (reference lib/Solver.py:46-48, PETSc default 1e20).
+    ``pc_accel_order``: Anderson-accelerate the PC output every iteration
+    (reference "inner accel order", lib/Preconditioner.py:248-249).
+    """
     n = b.shape[0]
     if x0 is None:
         x0 = jnp.zeros(n, dtype=b.dtype)
@@ -201,7 +227,8 @@ def fgmres(
         restart = maxiter
     restart = min(restart, maxiter)
     return _gmres_impl(
-        A, b, x0, M, restart, rtol, atol, maxiter, True, fieldwise
+        A, b, x0, M, restart, rtol, atol, maxiter, True, fieldwise,
+        divtol, pc_accel_order,
     )
 
 
@@ -215,6 +242,8 @@ def gmres(
     atol=0.0,
     maxiter=100,
     fieldwise: FieldwiseTest | None = None,
+    divtol=1e20,
+    pc_accel_order: int = 0,
 ):
     """Right-preconditioned GMRES (constant M; recomputes M(V y) per cycle).
 
@@ -222,6 +251,14 @@ def gmres(
     correct in the FGMRES sense; the model layer selects fgmres whenever the
     preconditioner contains inner Krylov solves, like PETSc users switching
     gmres->fgmres.  Kept for parity with ``"solver type": "gmres"``.
+
+    ``pc_accel_order`` matters here specifically: Anderson-mixing the PC
+    output inside *flexible* GMRES provably leaves the minimization span
+    (hence the residual history) unchanged — the mixed direction is a linear
+    combination of previous stored directions plus the new one.  The
+    reference's "inner accel order" changes convergence exactly because
+    PETSc gmres is NOT flexible (lib/Preconditioner.py:248-249 under
+    ``-global_ksp_type gmres``); this variant reproduces that behavior.
     """
     n = b.shape[0]
     if x0 is None:
@@ -232,5 +269,6 @@ def gmres(
         restart = maxiter
     restart = min(restart, maxiter)
     return _gmres_impl(
-        A, b, x0, M, restart, rtol, atol, maxiter, False, fieldwise
+        A, b, x0, M, restart, rtol, atol, maxiter, False, fieldwise, divtol,
+        pc_accel_order,
     )

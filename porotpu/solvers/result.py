@@ -21,9 +21,18 @@ class SolveResult:
     res: jax.Array  # final residual norm (solver's norm type)
     converged: jax.Array  # bool scalar (True = tolerance met)
     history: jax.Array  # (maxiter+1,) residual norms, NaN-padded
+    diverged: jax.Array  # bool scalar (True = error_abs exceeded divtol,
+    # reference lib/Solver.py:46-48 "convergence test" return -1)
 
     def tree_flatten(self):
-        return (self.x, self.iters, self.res, self.converged, self.history), None
+        return (
+            self.x,
+            self.iters,
+            self.res,
+            self.converged,
+            self.history,
+            self.diverged,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -142,3 +142,82 @@ def test_cg_fixed_and_richardson():
     dinv = jnp.asarray(1.0 / A.diagonal())
     x2 = richardson(E.matvec, jnp.asarray(b), M=lambda r: dinv * r, omega=1.0, iters=200)
     assert np.linalg.norm(np.asarray(x2) - xref) / np.linalg.norm(xref) < 1e-2
+
+
+def test_divergence_detection():
+    """A sign-indefinite system makes the (unpreconditioned-norm) residual
+    blow up; the solvers must exit early with diverged=True rather than
+    burning maxiter iterations (reference lib/Solver.py:46-48, divtol)."""
+    n = 60
+    rng = np.random.default_rng(5)
+    # symmetric indefinite: CG's residual excursion passes 4.6e2 before any
+    # eventual recovery — with divtol below that peak the guard must fire
+    B = sp.random(n, n, density=0.1, random_state=rng).toarray()
+    A = sp.csr_matrix(B + B.T + 0.1 * np.eye(n))
+    E = ELL.from_csr(A, dtype=jnp.float64)
+    b = jnp.asarray(rng.normal(size=n))
+
+    res = cg(E.matvec, b, rtol=1e-12, maxiter=300, divtol=1e2)
+    assert bool(res.diverged) and not bool(res.converged)
+    assert int(res.iters) < 108  # unguarded run needs 108 its to recover
+
+    from porotpu.solvers import aar
+
+    # wrong-sign amplifying PC: Richardson iteration matrix has spectral
+    # radius ~11 on diag(+-1) => geometric residual blow-up
+    d = np.concatenate([np.full(n // 2, 1.0), np.full(n - n // 2, -1.0)])
+    Ad = ELL.from_csr(sp.diags(d).tocsr(), dtype=jnp.float64)
+    M = lambda r: -5.0 * r
+    res = aar(Ad.matvec, b, M=M, omega=2.0, order=0, rtol=1e-12,
+              maxiter=500, divtol=1e6)
+    assert bool(res.diverged) and not bool(res.converged)
+    assert int(res.iters) < 500
+
+
+def test_fgmres_never_diverges_on_sane_system():
+    A = _random_csr(80, 0.05, seed=23)
+    b = np.random.default_rng(24).normal(size=80)
+    E = ELL.from_csr(A, dtype=jnp.float64)
+    res = fgmres(E.matvec, jnp.asarray(b), rtol=1e-10, maxiter=200)
+    assert bool(res.converged) and not bool(res.diverged)
+
+
+def test_gmres_pc_accel_order():
+    """Anderson acceleration of the PC output (the reference's "inner
+    accel order", lib/Preconditioner.py:248-249) — documented semantics.
+
+    The mixed PC output is the new direction plus a combination of
+    already-stored history directions, so the Arnoldi minimization span —
+    hence the residual trace — is provably unchanged for ANY outer GMRES.
+    What differs is the solution reconstruction:
+    - flexible (ours, default): dx = y @ Z uses the actual mixed
+      directions => solution stays exact;
+    - non-flexible (the reference's ``-global_ksp_type gmres``):
+      x = x0 + M(V y) re-applies the stateful PC, which no longer matches
+      the directions that built H => the returned solution is corrupted.
+      This reproduces the reference's own caveat (">1 diverges always",
+      swelling.py:75) as an observable, pinned-down behavior.
+    """
+    A = _random_csr(120, 0.05, seed=25)
+    b = np.random.default_rng(26).normal(size=120)
+    E = ELL.from_csr(A, dtype=jnp.float64)
+    dinv = jnp.asarray(1.0 / A.diagonal())
+    M = lambda r: dinv * r
+    xref = spla.spsolve(A.tocsc(), b)
+
+    fb = fgmres(E.matvec, jnp.asarray(b), M=M, rtol=1e-10, maxiter=200)
+    fa = fgmres(E.matvec, jnp.asarray(b), M=M, rtol=1e-10, maxiter=200,
+                pc_accel_order=2)
+    # flexible + accel: exact solution, span-invariant trace
+    assert bool(fa.converged)
+    assert np.allclose(np.asarray(fa.x), xref, atol=1e-5)
+    hb, ha = np.asarray(fb.history), np.asarray(fa.history)
+    hb, ha = hb[~np.isnan(hb)], ha[~np.isnan(ha)]
+    assert len(hb) == len(ha) and np.allclose(hb, ha, rtol=1e-3)
+
+    # non-flexible + accel: same trace, corrupted reconstruction —
+    # the reference's latent quirk, reproduced bit-for-bit
+    acc = gmres(E.matvec, jnp.asarray(b), M=M, rtol=1e-10, maxiter=200,
+                pc_accel_order=2)
+    rel = np.linalg.norm(np.asarray(acc.x) - xref) / np.linalg.norm(xref)
+    assert rel > 1e-3  # provably-wrong reconstruction is detectable

@@ -72,6 +72,10 @@ def test_footing_3way_matches_direct(pc_type):
             "solver rtol": 1e-9,
             "solver atol": 1e-11,
             "solver maxiter": 400,
+            # reference-parity unrestarted GMRES (lib/Solver.py:100): the
+            # slow-converging 3-way research PCs degrade under the
+            # memory-sane default restart of 50
+            "gmres restart": 400,
         },
     )
     t, its, xref, A, b = _step_with_direct(problem)
@@ -164,3 +168,60 @@ def test_loads_only_rhs_mode():
     )
     t, its, xref, A, b = _step_with_direct(problem)
     assert bool(problem.last_result.converged)
+
+
+def test_swelling_inner_accel_order_gmres():
+    """"inner accel order 1" + gmres (swelling.py:75,
+    lib/Preconditioner.py:248-249) through the model layer: the accelerated
+    PC is threaded through the flexible reconstruction, so — unlike the
+    reference's non-flexible outer, whose returned solution is corrupted by
+    the stateful final PC apply (see
+    test_ops_solvers.py::test_gmres_pc_accel_order) — the solve must still
+    reach the direct solution within tolerance."""
+    problem = benchmarks.swelling(
+        Nelements=6,
+        overrides={
+            "solver type": "gmres",
+            "pc type": "diagonal",
+            "inner pc type": "lu",
+            "solver rtol": 1e-8,
+            "solver atol": 1e-12,
+            "inner accel order": 1,
+        },
+    )
+    t, its, xref, A, b = _step_with_direct(problem)
+    assert bool(problem.last_result.converged)
+    x1 = np.asarray(problem.sol)
+    rel = np.linalg.norm(x1 - xref) / np.linalg.norm(xref)
+    assert rel < 1e-5, f"accelerated rel err {rel}"
+
+
+def test_inner_monitor_and_pc_timings(capsys):
+    """Observability parity: "inner monitor" prints per-apply inner-solve
+    residuals from inside the jitted solve (reference inner KSP monitors,
+    lib/Parser.py:27-28), and print_timings reports the per-stage PC
+    breakdown (lib/Preconditioner.py:252-260)."""
+    problem = benchmarks.swelling(
+        Nelements=4,
+        overrides={
+            "pc type": "diagonal",
+            "inner ksp type": "cg",
+            "inner pc type": "hypre",
+            "solver rtol": 1e-6,
+            "solver atol": 1e-10,
+            "inner monitor": True,
+        },
+    )
+    t = problem.t0 + problem.parameters["dt"]
+    problem.solve_time_step(t)
+    import jax as _jax
+
+    _jax.effects_barrier()
+    out = capsys.readouterr().out
+    assert "[inner s]" in out or "[inner fp_f]" in out, out[-2000:]
+
+    st = problem.pc_timings(reps=2)
+    assert st["total"] > 0 and st["solid"] > 0
+    problem.print_timings()
+    out = capsys.readouterr().out
+    assert "Timing preconditioner" in out and "Solid solver" in out
