@@ -5,8 +5,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Metric: wall time of one preconditioned FGMRES solve of the swelling-3d
-system (the reference's scaling target, swelling-3d.py) at ~100k dofs to
-the reference tolerance, on one chip.  Baseline: the only absolute number
+system (the reference's scaling target, swelling-3d.py) at N=13 —
+120,842 dofs, i.e. MORE than the baseline's ~100k dofs/core — to the
+reference tolerance, on one chip.  Baseline: the only absolute number
 the reference publishes — 1.12 s for its ~100k-dof single-process solve
 (solid.py:182-186 weak-scaling block; see BASELINE.md).
 vs_baseline = baseline_time / our_time (>1 means faster than reference).
@@ -31,7 +32,7 @@ def log(*a):
 
 
 def main():
-    N = int(os.environ.get("BENCH_N", "10"))
+    N = int(os.environ.get("BENCH_N", "13"))
     dtype = jnp.float32
 
     from porotpu.models import benchmarks

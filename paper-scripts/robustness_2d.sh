@@ -9,6 +9,9 @@ DO_EXACT=${DO_EXACT:-true}
 DO_INEXACT=${DO_INEXACT:-true}
 NS_SWELLING=${NS_SWELLING:-"10 20 40 80 160"}
 NS_FOOTING=${NS_FOOTING:-"10 20 40 80"}
+# iteration robustness is a per-step property: the first steps suffice
+TF=${TF:-0.02}
+export PORO_PLATFORM=${PORO_PLATFORM:-cpu}
 
 OUTDIR=output
 mkdir -p $OUTDIR
@@ -17,7 +20,8 @@ run_case () {
     local DRIVER=$1 N=$2 OPTS=$3 PC=$4 OUT=$5
     echo "" | tee -a $OUT
     echo "$DRIVER pc='$PC' N=$N opts=$OPTS" | tee -a $OUT
-    python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" | tee -a $OUT
+    python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" \
+        --time-final $TF | tee -a $OUT
 }
 
 if [ "$DO_EXACT" = true ]; then
