@@ -238,6 +238,19 @@ class Poromechanics(AbstractPhysics):
                 # preonly-AMG applies cfg.sweeps V-cycles per PC apply
                 # (build_inner_solver); map the knob there too
                 cfg.sweeps = int(ii)
+        # AMG hierarchy knobs (hypre's -pc_hypre_boomeramg_* analogues,
+        # petsc-options-inexact:16-24): exposed as parameters for the
+        # robustness sweeps and for tests that need deep hierarchies on
+        # small problems
+        for key, attr, cast in (
+            ("amg coarse size", "amg_coarse_size", int),
+            ("amg theta", "amg_theta", float),
+            ("amg presmooth", "amg_presmooth", int),
+            ("amg postsmooth", "amg_postsmooth", int),
+        ):
+            v = p.get(key)
+            if v is not None:
+                setattr(cfg, attr, cast(v))
         return cfg
 
     def _padded_coords(self, space, n_pad_nodes):

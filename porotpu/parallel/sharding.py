@@ -59,6 +59,18 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_vector(x, mesh: Mesh):
+    """Row-shard a vector; lengths that don't divide the mesh are replicated.
+
+    The non-divisible case is AMG coarse-level data (dinv, masks) whose
+    sizes follow the aggregation, not the mesh padding.  Replicating small
+    coarse levels (their operators are already replicated by shard_ell's
+    identical guard) is the deliberate design choice — the analogue of
+    PETSc/hypre coarse-grid agglomeration onto few ranks: at a few thousand
+    rows the per-level collectives of a distributed V-cycle are pure
+    latency, while replicated smoothing is a trivially parallel local op.
+    """
+    if getattr(x, "ndim", 1) == 0 or x.shape[0] % mesh.size:
+        return jax.device_put(x, NamedSharding(mesh, P()))
     return jax.device_put(x, NamedSharding(mesh, P("rows")))
 
 

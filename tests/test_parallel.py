@@ -92,6 +92,35 @@ def test_sharded_3way_solve():
     assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-6
 
 
+def test_sharded_real_amg_hierarchy_matches_single_device():
+    """Regression for the round-2 multichip crash: shard a REAL multi-level
+    AMG hierarchy whose coarse-level sizes do NOT divide the device mesh
+    (they follow the aggregation, not the padding) and match the
+    single-device solve.  Previously shard_vector crashed on the coarse
+    dinv; coarse levels are now replicated (coarse-grid agglomeration)."""
+    ov = {
+        "pc type": "diagonal",
+        "inner pc type": "hypre",
+        "solver rtol": 1e-8,
+        "solver atol": 1e-12,
+        "amg coarse size": 40,  # force >= 2 levels on a small problem
+    }
+    res1, res2, x1, x2 = _sharded_vs_single(dict(ov), N=8)
+
+    # the sharded problem must actually contain a deep hierarchy with a
+    # mesh-indivisible level — otherwise this test isn't testing the path
+    prob = benchmarks.swelling(Nelements=8, overrides={**ov, "pad multiple": 8})
+    prob.create_solver()
+    amg = prob.pc.solve_s.payload["amg"]
+    assert len(amg.levels) >= 2
+    assert any(l.dinv.shape[0] % 8 for l in amg.levels[1:]) or (
+        amg.coarse_inv.shape[0] % 8
+    )
+
+    assert bool(res2.converged)
+    assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-8
+
+
 def test_padded_unsharded_matches_unpadded():
     # pad multiple > 1 must not change the solution even without sharding
     ov = {"pc type": "undrained", "inner pc type": "lu",
