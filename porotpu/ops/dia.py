@@ -182,36 +182,51 @@ class DIA:
         return y
 
     def rmatvec(self, x: jax.Array) -> jax.Array:
-        """A^T @ x via shifted static-slice accumulation (scatter-free)."""
+        """A^T @ x as a sum of shifted static slices (scatter-free).
+
+        (A^T x)[i+o] += data[d, i] * x[i]  =>  y = sum_d shift(data[d]*x, o),
+        i.e. the transpose is the same gather-free shifted-slice sweep as
+        ``matvec``, only shifting the *product* instead of the input.  Pure
+        shifted reads: under a row-sharded mesh GSPMD lowers them to
+        neighbor collective-permutes (an earlier read-modify-write
+        formulation with dynamic_update_slice forced full-vector
+        all-gathers every application).
+        """
         lo, hi, ne = self._pads()
+        # pad x and data ONCE, then read a shifted window per diagonal
+        # (the pad-once / slice-many structure GSPMD lowers to neighbor
+        # collective-permutes, exactly like matvec; per-diagonal pads or
+        # read-modify-write accumulators both degrade to all-gathers):
+        # window for offset o is [plo - o, plo - o + ne)
+        plo = max(max(self.offsets), 0)
+        phi = max(0, ne - min(self.offsets) - self.nrows)
+        xpad = jnp.pad(x, (plo, phi))
+        dpad = jnp.pad(self.data, ((0, 0), (plo, phi)))
         nd = self.data.shape[0]
-        acc = jnp.zeros(ne + lo + hi, dtype=x.dtype)
+        y = jnp.zeros(ne, dtype=x.dtype)
         if nd <= UNROLL_MAX:
             for d, o in enumerate(self.offsets):
-                seg = jax.lax.dynamic_slice(acc, (lo + o,), (self.nrows,))
-                acc = jax.lax.dynamic_update_slice(
-                    acc, seg + self.data[d] * x, (lo + o,)
-                )
+                y = y + jax.lax.dynamic_slice(
+                    dpad[d], (plo - o,), (ne,)
+                ) * jax.lax.dynamic_slice(xpad, (plo - o,), (ne,))
         else:
             starts = jnp.asarray(
-                [lo + o for o in self.offsets], dtype=jnp.int32
+                [plo - o for o in self.offsets], dtype=jnp.int32
             ).reshape(-1, CHUNK)
-            dchunks = self.data.reshape(-1, CHUNK, self.nrows)
+            dchunks = dpad.reshape(-1, CHUNK, dpad.shape[1])
 
-            def body(acc, args):
+            def body(y, args):
                 dat, st = args
                 for j in range(CHUNK):
-                    seg = jax.lax.dynamic_slice(acc, (st[j],), (self.nrows,))
-                    acc = jax.lax.dynamic_update_slice(
-                        acc, seg + dat[j] * x, (st[j],)
-                    )
-                return acc, None
+                    y = y + jax.lax.dynamic_slice(
+                        dat[j], (st[j],), (ne,)
+                    ) * jax.lax.dynamic_slice(xpad, (st[j],), (ne,))
+                return y, None
 
-            acc, _ = jax.lax.scan(body, acc, (dchunks, starts))
-        ye = jax.lax.dynamic_slice(acc, (lo,), (ne,))
+            y, _ = jax.lax.scan(body, y, (dchunks, starts))
         if self.col_emb is not None:
-            return ye[self.col_emb]
-        return ye[: self.ncols]
+            return y[self.col_emb]
+        return y[: self.ncols]
 
     def __matmul__(self, x):
         return self.matvec(x)
