@@ -247,6 +247,9 @@ class Poromechanics(AbstractPhysics):
             ("amg theta", "amg_theta", float),
             ("amg presmooth", "amg_presmooth", int),
             ("amg postsmooth", "amg_postsmooth", int),
+            ("amg box factor", "amg_box_factor", float),
+            ("amg smooth degree", "amg_smooth_degree", int),
+            ("amg cheb lower", "amg_cheb_lower", float),
         ):
             v = p.get(key)
             if v is not None:
@@ -390,6 +393,38 @@ class Poromechanics(AbstractPhysics):
         if self.two_way:
             cfg_fp = self._inner_cfg("fp")
             fp_size = nf_p + np_p
+
+            # Schur preconditioner choice for the fieldsplit: 'dcc'
+            # (discrete Cahouet-Chabard, precond/schur.py:mass_drag_schur)
+            # is the default — measured h-robust where the reference's
+            # 'selfp' (petsc-options-inexact:80) degrades under refinement
+            # (documented deviation; select 'selfp' for bug-for-bug parity)
+            schur_kind = self.parameters.get("schur precondition", "dcc")
+            odb = self.parameters.get("options db")
+            if odb is not None:
+                v = odb.get("fp_pc_fieldsplit_schur_precondition")
+                if v is not None:
+                    schur_kind = v
+            asm = self.assembler
+            gamma = (
+                asm.rhof * asm.idt * asm.phi0
+                + (1.0 + asm.betaf) * asm.phi0**2 * asm.ikf
+            )
+            mdiag = np.ones(nf_p)
+            Mvf = asm.pr.Mv_f
+            mdiag[: Mvf.shape[0]] = gamma * np.asarray(Mvf.diagonal()).ravel()
+            visc = np.zeros(np_p)
+            mp_lump = np.asarray(asm.pr.Mp.sum(axis=1)).ravel()
+            mp_lump[mp_lump == 0] = 1.0
+            # w_visc = nu/phi0^2 with nu = 2 mu_f phi0 (EpsF coefficient):
+            # the Cahouet-Chabard viscous term of S^-1, dimension-free
+            visc[: mp_lump.size] = (2.0 * asm.mu_f / asm.phi0) / mp_lump
+            p_bc = bc_dofs[bc_dofs >= ns_p + nf_p] - (ns_p + nf_p)
+            visc[p_bc] = 0.0  # Dirichlet pressure rows stay identity
+            dcc_kwargs = dict(
+                schur_kind=schur_kind, mass_drag_diag=mdiag, visc_diag=visc
+            )
+
             if cfg_fp.method == "lu" and fp_size <= cfg_fp.lu_max_size:
                 # exact operating point: single LU of the whole fp block
                 # (petsc-options-exact:31-35)
@@ -412,9 +447,10 @@ class Poromechanics(AbstractPhysics):
                     coords_p=xyz_p,
                     row_emb_pf=emb_pf,
                     dtype=dtype,
+                    **dcc_kwargs,
                 )
             else:
-                # inexact: Schur fieldsplit lower + selfp
+                # inexact: Schur fieldsplit lower + dcc/selfp
                 # (petsc-options-inexact:71-114)
                 solve_fp = build_schur_fieldsplit(
                     P_ff,
@@ -429,6 +465,7 @@ class Poromechanics(AbstractPhysics):
                     coords_p=xyz_p,
                     row_emb_pf=emb_pf,
                     dtype=dtype,
+                    **dcc_kwargs,
                 )
             self.pc = BlockPreconditioner(
                 ns_p,

@@ -120,6 +120,9 @@ def _shard_inner(solver: InnerSolver, mesh: Mesh) -> InnerSolver:
     elif k in ("amg", "cg+amg"):
         out["A"] = shard_ell(out["A"], mesh)
         out["amg"] = shard_amg(out["amg"], mesh)
+    elif k == "plus-diag":
+        out["base"] = _shard_inner(out["base"], mesh)
+        out["wdiag"] = shard_vector(out["wdiag"], mesh)
     return InnerSolver(
         k, out, solver.iters, solver.lmax, solver.cheb_frac,
         solver.monitor, solver.label,
@@ -143,6 +146,7 @@ def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
         replicate(amg.coarse_inv, mesh),
         amg.presmooth,
         amg.postsmooth,
+        amg.cheb_lower,
     )
 
 

@@ -275,26 +275,30 @@ class AMG:
     solves.
     """
 
-    def __init__(self, levels, coarse_inv, presmooth=1, postsmooth=1):
+    def __init__(
+        self, levels, coarse_inv, presmooth=1, postsmooth=1, cheb_lower=4.0
+    ):
         self.levels = tuple(levels)
         self.coarse_inv = coarse_inv
         self.presmooth = presmooth
         self.postsmooth = postsmooth
+        self.cheb_lower = cheb_lower
 
     def tree_flatten(self):
         return (self.levels, self.coarse_inv), (
             self.presmooth,
             self.postsmooth,
+            self.cheb_lower,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], *aux)
 
-    # -- smoothing: Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A ------------
+    # -- smoothing: Chebyshev over [lmax/cheb_lower, 1.1 lmax] of D^-1 A ---
 
     def _smooth(self, lvl: AMGLevel, b, x, iters, x_is_zero=False):
-        lmin = lvl.lmax / 4.0
+        lmin = lvl.lmax / self.cheb_lower
         lmax = 1.1 * lvl.lmax
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
@@ -339,6 +343,8 @@ def amg_setup(
     coords: np.ndarray | None = None,
     h0: float | None = None,
     box_factor: float = 3.0,
+    smooth_degree: int = 1,
+    cheb_lower: float = 4.0,
     dtype=jnp.float32,
 ) -> AMG:
     """Build a smoothed-aggregation AMG hierarchy for SPD-ish A.
@@ -418,9 +424,12 @@ def amg_setup(
         diag[diag == 0] = 1.0
         dinv = 1.0 / diag
         lmax = _power_lmax(A, dinv)
-        # P = (I - 4/(3 lmax) D^-1 A) T
+        # P = (I - 4/(3 lmax) D^-1 A)^q T  (q = smooth_degree; q=2 widens
+        # the interpolation stencil — better for stiff vector blocks)
         Dinv = sp.diags(dinv)
-        P = (T - (4.0 / (3.0 * lmax)) * (Dinv @ (A @ T))).tocsr()
+        P = T
+        for _ in range(max(smooth_degree, 0)):
+            P = (P - (4.0 / (3.0 * lmax)) * (Dinv @ (A @ P))).tocsr()
         Ac = (P.T.tocsr() @ (A @ P)).tocsr()
         levels.append(
             AMGLevel(
@@ -466,6 +475,7 @@ def amg_setup(
         jnp.asarray(Ainv, dtype=dtype),
         presmooth,
         postsmooth,
+        cheb_lower,
     )
 
 

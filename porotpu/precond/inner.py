@@ -39,11 +39,21 @@ class InnerConfig:
     method: str = "cg+amg"  # jacobi | chebyshev | cg | cg+amg | amg | lu
     iters: int = 5  # fixed iteration count for cg/chebyshev
     sweeps: int = 1  # AMG V-cycles per application
-    # AMG setup knobs
+    # AMG setup knobs.  Defaults are the h-robust operating point measured
+    # on the swelling/footing blocks (tools/amg_tune_solid.py): 2x2-node
+    # lattice boxes + 2+2 Chebyshev sweeps hold the V-cycle contraction at
+    # rho ~ 0.2-0.35 independent of mesh size, where the earlier 3x3-box /
+    # 1+1-sweep point degraded to rho ~ 0.85 on the elasticity block and
+    # leaked h-dependence into the outer iteration counts (the reference's
+    # whole robustness claim rides on hypre BoomerAMG here,
+    # petsc-options-inexact:16-24).
     amg_theta: float = 0.08
     amg_coarse_size: int = 600
-    amg_presmooth: int = 1
-    amg_postsmooth: int = 1
+    amg_presmooth: int = 2
+    amg_postsmooth: int = 2
+    amg_box_factor: float = 2.0
+    amg_smooth_degree: int = 1  # prolongator smoothing degree
+    amg_cheb_lower: float = 4.0  # smoother interval [lmax/this, 1.1 lmax]
     # dense-LU size cap: above this, "lu" falls back to tight CG
     lu_max_size: int = 20000
     lu_fallback_iters: int = 200
@@ -155,6 +165,11 @@ class InnerSolver:
             return self._monitored(
                 b, cg_fixed(A.matvec, b, M=amg, iters=self.iters)
             )
+        if k == "plus-diag":
+            # additive composite: base solve + diagonal term.  Used by the
+            # discrete-Cahouet-Chabard Schur solver (precond/schur.py):
+            # y = S_md^-1 b + w_visc diag^-1 b
+            return self.payload["base"](b) + self.payload["wdiag"] * b
         raise ValueError(f"unknown inner solver kind {self.kind}")
 
 
@@ -173,6 +188,13 @@ def remap_inner_iters(obj, iters: int):
         if obj.kind in ("cg+amg", "cg", "chebyshev", "amg"):
             return InnerSolver(
                 obj.kind, obj.payload, iters, obj.lmax, obj.cheb_frac,
+                obj.monitor, obj.label,
+            )
+        if obj.kind == "plus-diag":
+            payload = dict(obj.payload)
+            payload["base"] = remap_inner_iters(payload["base"], iters)
+            return InnerSolver(
+                obj.kind, payload, obj.iters, obj.lmax, obj.cheb_frac,
                 obj.monitor, obj.label,
             )
         return obj
@@ -203,8 +225,14 @@ def set_inner_monitor(obj, enable: bool, label: str = ""):
     from .schur import SchurFieldsplit
 
     if isinstance(obj, InnerSolver):
+        payload = obj.payload
+        if obj.kind == "plus-diag":
+            payload = dict(payload)
+            payload["base"] = set_inner_monitor(
+                payload["base"], enable, label or obj.label
+            )
         return InnerSolver(
-            obj.kind, obj.payload, obj.iters, obj.lmax, obj.cheb_frac,
+            obj.kind, payload, obj.iters, obj.lmax, obj.cheb_frac,
             enable, label or obj.label,
         )
     if isinstance(obj, SchurFieldsplit):
@@ -287,6 +315,9 @@ def build_inner_solver(
             presmooth=cfg.amg_presmooth,
             postsmooth=cfg.amg_postsmooth,
             coords=coords,
+            box_factor=cfg.amg_box_factor,
+            smooth_degree=cfg.amg_smooth_degree,
+            cheb_lower=cfg.amg_cheb_lower,
             dtype=dtype,
         )
         # reuse the hierarchy's fine-level operator instead of a second

@@ -34,6 +34,31 @@ def selfp_schur(
     return (App - Apf @ sp.diags(1.0 / d) @ Afp).tocsr()
 
 
+def mass_drag_schur(
+    Afp: sp.csr_matrix,
+    Apf: sp.csr_matrix,
+    App: sp.csr_matrix,
+    mass_drag_diag: np.ndarray,
+) -> sp.csr_matrix:
+    """S_md = App - Apf diag(gamma M_f)^-1 Afp: the reaction half of the
+    discrete Cahouet-Chabard Schur preconditioner.
+
+    ``mass_drag_diag`` is the diagonal of ONLY the mass + Darcy-drag part
+    of the fluid operator, gamma = rhof/dt phi0 + (1+betaf) phi0^2/kf.
+    Unlike selfp's diag(Aff), it excludes the viscous diagonal — which
+    grows like mu_f/h^2 relative to gamma under refinement and wrecks the
+    Laplacian scaling of the product term (measured: swelling 2-way outer
+    iterations 10->47 over N=10..80 with selfp vs 10->17 with this +
+    the viscous mass term; tools/schur_experiment.py).  The viscous limit
+    is covered by the additive lumped-mass term w_visc = 2 mu_f / phi0
+    (the Cahouet-Chabard pair, reference lib/Assembler.py:131-138 — the
+    2-way analogue of the paper's 3-way beta_CC1/beta_CC2 construction).
+    """
+    d = np.asarray(mass_drag_diag, dtype=np.float64).copy()
+    d[d == 0] = 1.0
+    return (App - Apf @ sp.diags(1.0 / d) @ Afp).tocsr()
+
+
 @jax.tree_util.register_pytree_node_class
 class SchurFieldsplit:
     """Lower Schur fieldsplit apply on the concatenated [f | p] vector."""
@@ -71,9 +96,15 @@ def build_schur_fieldsplit(
     coords_f=None,
     coords_p=None,
     row_emb_pf=None,
+    schur_kind: str = "selfp",
+    mass_drag_diag: np.ndarray | None = None,
+    visc_diag: np.ndarray | None = None,
     dtype=jnp.float32,
 ) -> SchurFieldsplit:
-    S = selfp_schur(Aff, Afp, Apf, App)
+    """``schur_kind``: 'selfp' (PETSc parity, petsc-options-inexact:78-80)
+    or 'dcc' (discrete Cahouet-Chabard, see mass_drag_schur) — 'dcc' needs
+    ``mass_drag_diag`` (len nf) and ``visc_diag`` (len np, the additive
+    viscous term w_visc/lumped(Mp), zero at Dirichlet pressure rows)."""
     solve_f = build_inner_solver(
         Aff,
         cfg_f,
@@ -82,7 +113,16 @@ def build_schur_fieldsplit(
         coords=coords_f,
         dtype=dtype,
     )
-    solve_S = build_inner_solver(S, cfg_S, coords=coords_p, dtype=dtype)
+    if schur_kind == "dcc":
+        S = mass_drag_schur(Afp, Apf, App, mass_drag_diag)
+        base = build_inner_solver(S, cfg_S, coords=coords_p, dtype=dtype)
+        solve_S = InnerSolver(
+            "plus-diag",
+            {"base": base, "wdiag": jnp.asarray(visc_diag, dtype=dtype)},
+        )
+    else:
+        S = selfp_schur(Aff, Afp, Apf, App)
+        solve_S = build_inner_solver(S, cfg_S, coords=coords_p, dtype=dtype)
     # Apf (pressure rows x fluid cols) is tall-skinny transposed: store its
     # banded transpose under the P1->P2 row embedding (ops/dia.py)
     return SchurFieldsplit(

@@ -82,6 +82,18 @@ class OptionsDB:
                 cfg_kwargs["amg_presmooth"] = cfg_kwargs["amg_postsmooth"] = int(
                     sweeps
                 )
+            # porotpu-native per-prefix AMG knobs (the -pc_hypre_boomeramg_*
+            # analogues for the SA hierarchy)
+            for key, attr, cast in (
+                ("pc_amg_box_factor", "amg_box_factor", float),
+                ("pc_amg_smooth_degree", "amg_smooth_degree", int),
+                ("pc_amg_cheb_lower", "amg_cheb_lower", float),
+                ("pc_amg_theta", "amg_theta", float),
+                ("pc_amg_coarse_size", "amg_coarse_size", int),
+            ):
+                v = items.get(key)
+                if v is not None:
+                    cfg_kwargs[attr] = cast(v)
             if ksp in ("preonly", ""):
                 return InnerConfig(method="amg", **cfg_kwargs)
             return InnerConfig(

@@ -104,6 +104,29 @@ def test_swelling_inexact_amg():
     assert its < 120
 
 
+@pytest.mark.parametrize("schur_kind", ["dcc", "selfp"])
+def test_swelling_schur_kinds_match_direct(schur_kind):
+    """Both Schur preconditioners (dcc default / selfp reference-parity)
+    converge to the direct solution; dcc is the h-robust default
+    (precond/schur.py:mass_drag_schur)."""
+    problem = benchmarks.swelling(
+        Nelements=8,
+        overrides={
+            "pc type": "diagonal",
+            "inner pc type": "hypre",
+            "schur precondition": schur_kind,
+            "solver rtol": 1e-8,
+            "solver atol": 1e-12,
+        },
+    )
+    t, its, xref, A, b = _step_with_direct(problem)
+    x = np.asarray(problem.sol)
+    rel = np.linalg.norm(x - xref) / np.linalg.norm(xref)
+    assert bool(problem.last_result.converged), f"{schur_kind}: not converged"
+    assert rel < 1e-5, f"{schur_kind}: rel err {rel}"
+    assert its < 60, f"{schur_kind}: {its} iterations"
+
+
 def test_swelling_aar_solver():
     problem = benchmarks.swelling(
         Nelements=6,
