@@ -45,6 +45,19 @@ class Poromechanics(AbstractPhysics):
     def __init__(self, parameters, mesh, markers=None, parser=None, dtype=jnp.float64):
         super().__init__(parameters, mesh, parser)
         p = self.parameters
+        # the --dtype CLI flag / "dtype" parameter overrides the keyword
+        # (reference parity: the PETSc pipeline is f64 end-to-end, so f64
+        # is the driver default; bench.py opts into f32 explicitly)
+        dt_param = p.get("dtype")
+        if dt_param is not None and not hasattr(dt_param, "dtype"):
+            dtype = {
+                "float64": jnp.float64, "f64": jnp.float64,
+                "double": jnp.float64, "float32": jnp.float32,
+                "f32": jnp.float32, "single": jnp.float32,
+            }[str(dt_param)]
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            # without x64 the "f64" arrays silently truncate to f32
+            jax.config.update("jax_enable_x64", True)
         self.dtype = dtype
         self.markers = markers
 
@@ -786,9 +799,12 @@ class Poromechanics(AbstractPhysics):
         stage wall-times cannot be sampled in-line the way the reference's
         Python PC callback does (lib/Preconditioner.py:34-39 cumulative
         t_solid/t_fluid/t_press/t_total).  Instead each inner stage is timed
-        standalone on device with the production operators and shapes; the
-        cumulative numbers printed by print_timings are per-apply cost x
-        recorded PC application count.
+        standalone on device with the production operators and shapes.
+        Because XLA fuses work across stages, standalone stage costs can
+        sum to MORE than the fused total; print_timings therefore rescales
+        the stage breakdown so it sums exactly to the measured fused total
+        (reference-format additive semantics, lib/Preconditioner.py:252-260)
+        — the raw standalone costs stay available in this dict.
         """
         from ..precond.block import BlockPreconditioner
         from ..utils.timers import Timers
@@ -845,19 +861,27 @@ class Poromechanics(AbstractPhysics):
                     st["total"] * napp, napp
                 )
             )
+            # attribute the fused total proportionally to the standalone
+            # stage costs so the breakdown is additive like the reference's
+            # (XLA fuses across stages — raw standalone costs can exceed
+            # the fused total; see pc_timings docstring)
+            stages = [k for k in st if k != "total"]
+            ssum = sum(st[k] for k in stages)
+            scale = (st["total"] / ssum) if ssum > 0 else 1.0
             if "pressure" in st:
                 parprint(
                     "\tSolid solver: {:.3f}s\n\tFluid solver: {:.3f}s"
                     "\n\tPressure solver: {:.3f}s".format(
-                        st["solid"] * napp,
-                        st["fluid"] * napp,
-                        st["pressure"] * napp,
+                        st["solid"] * scale * napp,
+                        st["fluid"] * scale * napp,
+                        st["pressure"] * scale * napp,
                     )
                 )
             elif "fluid-pressure" in st:
                 parprint(
                     "\tSolid solver: {:.3f}s"
                     "\n\tFluid-pressure solver: {:.3f}s".format(
-                        st["solid"] * napp, st["fluid-pressure"] * napp
+                        st["solid"] * scale * napp,
+                        st["fluid-pressure"] * scale * napp,
                     )
                 )

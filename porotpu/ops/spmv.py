@@ -1,4 +1,4 @@
-"""SpMV kernels (jnp reference implementation; Pallas variant in pallas_spmv).
+"""SpMV kernels (jnp reference implementation).
 
 The reference's SpMV is PETSc MatMult (C, CSR + MPI halo) called once per
 Krylov iteration (lib/AAR.py:135, inside every KSPSolve).  On TPU, CSR's

@@ -54,9 +54,12 @@ class InnerConfig:
     amg_box_factor: float = 2.0
     amg_smooth_degree: int = 1  # prolongator smoothing degree
     amg_cheb_lower: float = 4.0  # smoother interval [lmax/this, 1.1 lmax]
-    # dense-LU size cap: above this, "lu" falls back to tight CG
+    # dense-LU size cap: above this, "lu" falls back to tight CG+AMG.
+    # 40 V-cycle-preconditioned CG iterations reduce the error by ~1e-12
+    # at the measured AMG contraction (rho <= 0.35) — "exact" for every
+    # practical purpose at a fraction of the old 200-iteration cost.
     lu_max_size: int = 20000
-    lu_fallback_iters: int = 200
+    lu_fallback_iters: int = 40
     # chebyshev interval fraction: [lmax/cheb_frac, 1.1 lmax]
     cheb_frac: float = 30.0
 

@@ -17,30 +17,31 @@ class Parser:
     def __init__(self, argv=None):
         ap = argparse.ArgumentParser(add_help=True)
         ap.add_argument("-N", "--Nelements", type=int, dest="N",
-                        help="Number of elements per side")
+                        help="mesh resolution: elements along each side")
         ap.add_argument("--N-refinements", type=int, dest="refinements",
-                        help="Number of mesh refinements")
+                        help="extra uniform refinement rounds applied to the mesh")
         ap.add_argument("--solver-type", type=str, dest="solver_type",
-                        help="Type of linear solver: gmres, cg, aar")
+                        help="outer solver: gmres | cg | aar")
         ap.add_argument("--pc-type", type=str, dest="pc_type",
-                        help="Type of splitting preconditioner: diagonal, "
-                        "undrained, diagonal 3-way, undrained 3-way")
+                        help="block preconditioner variant (lu | undrained | "
+                        "diagonal | diagonal 3-way | diagonal 3-way-II | "
+                        "undrained 3-way)")
         ap.add_argument("--fe-solid", type=int, dest="fe_s",
-                        help="Finite element degree of solid")
+                        help="polynomial degree for the displacement space")
         ap.add_argument("--monitor", action="store_true", dest="monitor",
-                        help="Monitor linear solver convergence")
+                        help="print per-iteration residuals of the outer solver")
         ap.add_argument("--inner-monitor", action="store_true",
                         dest="inner_monitor",
-                        help="Monitor convergence of preconditioner solvers")
+                        help="print final residuals of each inner (per-field) solve")
         ap.add_argument("--inner-accel-order", type=int,
                         dest="inner_accel_order",
-                        help="Order of inner Anderson acceleration")
+                        help="history window for Anderson-accelerating the PC output (0 = off)")
         ap.add_argument("--output", action="store_true", dest="output",
-                        help="Use this to activate solution export")
+                        help="write the solution time series to disk (XDMF)")
         ap.add_argument("--time-final", type=float, dest="tf",
-                        help="Time to end simulation")
+                        help="simulation end time (overrides the driver default)")
         ap.add_argument("--petsc-options", type=str, dest="options_file",
-                        help="Solver options file (petsc-options format)")
+                        help="per-prefix solver options file (PETSc options file syntax)")
         ap.add_argument("--dtype", type=str, dest="dtype", default=None,
                         help="Device dtype: float32 or float64")
 

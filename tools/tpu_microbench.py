@@ -62,18 +62,8 @@ def main():
     t = timeit(f_ell, dataS, colS, xs, reps=20)
     log(f"1c. small ELL gather: {t*1e3:9.3f} ms   {npv*15/t:.3e} nnz/s")
 
-    # --- 2. Pallas ELL ---
-    try:
-        from porotpu.ops.pallas_spmv import ell_matvec_pallas
-
-        y2 = ell_matvec_pallas(data, cols, x)
-        y2.block_until_ready()
-        y1 = f_ell(data, cols, x)
-        err = float(jnp.max(jnp.abs(y2 - y1)))
-        t = timeit(ell_matvec_pallas, data, cols, x, reps=5)
-        log(f"2. Pallas ELL:        {t*1e3:9.3f} ms   {n*L/t:.3e} nnz/s  err={err:.2e}")
-    except Exception as e:
-        log(f"2. Pallas ELL failed: {type(e).__name__}: {str(e)[:200]}")
+    # (a Pallas ELL-gather kernel was measured here historically; DIA made
+    # gathers obsolete on the production path and the kernel was removed)
 
     # --- 3. stencil DIA: nd diagonals, shifts of a padded x ---
     for nd in (64, 125):
