@@ -33,21 +33,38 @@ def log(*a):
 
 def main():
     N = int(os.environ.get("BENCH_N", "13"))
-    dtype = jnp.float32
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    if dtype_name in ("float64", "f64", "double"):
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float32
 
     from porotpu.models import benchmarks
     from porotpu.utils import cache
 
     # inner operating point (tuned on-device, tools/tune_inner.py):
     # ONE AMG V-cycle applied directly (ksp preonly) per field block per PC
-    # apply — 8 outer FGMRES iterations instead of 6, but each a fraction
-    # of the cost of the 10-inner-CG+AMG-iteration configuration
+    # apply — more outer FGMRES iterations than the 10-inner-CG
+    # configuration, but each a fraction of the cost
     inner_ksp = os.environ.get("BENCH_INNER_KSP", "preonly")
     inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "1"))
+    # AMG operating point (see precond/inner.py InnerConfig): the library
+    # default is dimension-aware (box3 + 2+2 sweeps in 3D); the bench
+    # workload is a fixed size, so cheaper-per-cycle points can win on
+    # wall time — overridable for on-device tuning
+    amg_box = os.environ.get("BENCH_AMG_BOX")
+    amg_sweeps = os.environ.get("BENCH_AMG_SWEEPS")
+    amg_over = {}
+    if amg_box:
+        amg_over["amg box factor"] = float(amg_box)
+    if amg_sweeps:
+        amg_over["amg presmooth"] = amg_over["amg postsmooth"] = int(amg_sweeps)
 
     t0 = time.perf_counter()
     key = cache.config_key(
-        bench="swelling3d", N=N, schema=3, ksp=inner_ksp, ii=inner_iters
+        bench="swelling3d", N=N, schema=4, ksp=inner_ksp, ii=inner_iters,
+        box=amg_box or "auto", sw=amg_sweeps or "auto", dt=dtype_name,
     )
     cpath = f".cache/bench_{key}.pkl"
     problem = benchmarks.swelling_3d(
@@ -57,6 +74,7 @@ def main():
             "inner ksp type": inner_ksp,
             "inner pc type": "hypre",
             "inner iters": inner_iters,
+            **amg_over,
             "solver rtol": 1e-6,
             "solver atol": 1e-8,
             "solver maxiter": 100,
@@ -65,6 +83,7 @@ def main():
             # zero), so the history operators contribute nothing: skip
             # building/uploading them
             "rhs mode": "loads-only",
+            "dtype": dtype_name,
         },
         dtype=dtype,
     )

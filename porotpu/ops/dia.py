@@ -41,8 +41,14 @@ import numpy as np
 import scipy.sparse as sp
 
 # diagonals <= UNROLL_MAX are applied as a fully unrolled (XLA-fused)
-# slice loop; more are applied as a lax.scan over chunks of CHUNK
-UNROLL_MAX = int(os.environ.get("PORO_DIA_UNROLL", "64"))
+# slice loop; more are applied as a lax.scan over chunks of CHUNK.
+# The unrolled path's slice starts are STATIC, which GSPMD lowers to
+# neighbor collective-permutes on a row-sharded mesh; the scan path's
+# traced starts force full-vector all-gathers (HLO-audited).  384 covers
+# every production operator (2D blocks 43-176 diagonals, 3D fine ops 240,
+# 3D prolongators 368) so the sharded solve stays gather-free; scan
+# remains the guard for pathological diagonal counts.
+UNROLL_MAX = int(os.environ.get("PORO_DIA_UNROLL", "384"))
 CHUNK = int(os.environ.get("PORO_DIA_CHUNK", "16"))
 
 

@@ -342,7 +342,7 @@ def amg_setup(
     postsmooth: int = 1,
     coords: np.ndarray | None = None,
     h0: float | None = None,
-    box_factor: float = 3.0,
+    box_factor: float | None = None,
     smooth_degree: int = 1,
     cheb_lower: float = 4.0,
     dtype=jnp.float32,
@@ -374,6 +374,14 @@ def amg_setup(
     use_boxes = coords is not None
     if use_boxes:
         coords = np.asarray(coords, dtype=np.float64)
+        if box_factor is None:
+            # dimension-aware default: 2x2 boxes give the measured h-robust
+            # hierarchy in 2D (tools/amg_tune_solid.py), but in 3D the
+            # smoothed prolongator of a 2-box aggregate spans 5^3 boxes and
+            # the Galerkin coarse operator densifies (~1050 nnz/row on the
+            # swelling-3d solid block); 3x3x3 boxes keep it one banded DIA
+            # level + a small dense coarse solve
+            box_factor = 2.0 if coords.shape[1] == 2 else 3.0
         node_of_dof = np.repeat(np.arange(coords.shape[0]), d)
         if node_of_dof.size != A.shape[0]:
             raise ValueError("coords size does not match A / dofs_per_node")

@@ -51,7 +51,8 @@ class InnerConfig:
     amg_coarse_size: int = 600
     amg_presmooth: int = 2
     amg_postsmooth: int = 2
-    amg_box_factor: float = 2.0
+    # None = dimension-aware (2.0 in 2D, 3.0 in 3D — see amg_setup)
+    amg_box_factor: float | None = None
     amg_smooth_degree: int = 1  # prolongator smoothing degree
     amg_cheb_lower: float = 4.0  # smoother interval [lmax/this, 1.1 lmax]
     # dense-LU size cap: above this, "lu" falls back to tight CG+AMG.

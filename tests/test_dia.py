@@ -42,11 +42,17 @@ def test_dia_square_matvec_rmatvec():
     np.testing.assert_allclose(D.to_dense(), A.toarray(), rtol=1e-12)
 
 
-def test_dia_scan_path():
-    """> UNROLL_MAX diagonals exercises the chunked lax.scan path."""
+def test_dia_scan_path(monkeypatch):
+    """> UNROLL_MAX diagonals exercises the chunked lax.scan path.
+
+    The production threshold is large (every production operator takes
+    the GSPMD-friendly unrolled path, ops/dia.py:UNROLL_MAX), so force a
+    small one to cover the scan fallback.
+    """
+    monkeypatch.setattr(dia_mod, "UNROLL_MAX", 64)
     rng = np.random.default_rng(1)
     n = 300
-    offsets = np.unique(rng.integers(-90, 90, size=dia_mod.UNROLL_MAX + 40))
+    offsets = np.unique(rng.integers(-90, 90, size=64 + 40))
     A = banded_random(n, offsets, rng, density=0.5)
     D = DIA.from_csr(A, dtype=jnp.float64)
     assert D.data.shape[0] > dia_mod.UNROLL_MAX

@@ -121,6 +121,57 @@ def test_sharded_real_amg_hierarchy_matches_single_device():
     assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-8
 
 
+def test_sharded_full_solve_hlo_no_large_all_gathers():
+    """End-to-end HLO audit of the WHOLE sharded solve (outer FGMRES +
+    block PC + real AMG hierarchy): no full-vector all-gathers from the
+    SpMV/smoothing path.  The only all-gathers allowed are (a) the small
+    P1->P2 embedding scatters/gathers (bounded by the pressure-space
+    size) and (b) the per-iteration field-concatenation reshuffles
+    (bounded by one field vector, ~n floats — the concatenated vector's
+    uniform shards cannot align with all three field boundaries).  The
+    DIA scan path's traced slice starts used to all-gather the source
+    vector 136x per program (ops/dia.py:UNROLL_MAX note); this pins the
+    gather-free compilation down at the full-solve level, extending
+    test_sharded_dia_spmv_uses_halo_exchange."""
+    ov = {
+        "pc type": "diagonal",
+        "inner pc type": "hypre",
+        "solver rtol": 1e-8,
+        "solver atol": 1e-12,
+        "solver maxiter": 20,
+        "amg coarse size": 40,  # real multi-level hierarchy
+        "pad multiple": 8,
+    }
+    prob = benchmarks.swelling(Nelements=8, overrides=ov)
+    prob.create_solver()
+    prob.first_timestep = False
+    t = prob.t0 + prob.parameters["dt"]
+    b = prob.get_rhs(t)
+    mesh = solver_mesh(8)
+    args = (
+        shard_operator(prob.A_dev, mesh),
+        shard_operator(prob.pc, mesh),
+        shard_vector(b, mesh),
+        shard_vector(jnp.zeros_like(b), mesh),
+    )
+    hlo = prob._jit_solve.lower(*args).compile().as_text()
+    import re
+
+    n_total = b.shape[0]
+    ns = prob.padded_sizes[0]
+    large = []
+    for line in hlo.splitlines():
+        if not re.search(r"= \S+ all-gather(-start)?\(", line):
+            continue  # only all-gather ops themselves, not their consumers
+        m = re.search(r"= f\d+\[(\d+)[\],]", line)
+        if m and int(m.group(1)) > ns:
+            large.append(line.strip()[:160])
+    assert not large, "system-scale all-gathers in sharded solve:\n" + "\n".join(
+        large[:8]
+    )
+    assert hlo.count("collective-permute") > 0, "expected halo exchanges"
+
+
 def test_padded_unsharded_matches_unpadded():
     # pad multiple > 1 must not change the solution even without sharding
     ov = {"pc type": "undrained", "inner pc type": "lu",
