@@ -12,6 +12,12 @@ the reference publishes — 1.12 s for its ~100k-dof single-process solve
 (solid.py:182-186 weak-scaling block; see BASELINE.md).
 vs_baseline = baseline_time / our_time (>1 means faster than reference).
 
+The headline runs f32 with a TRUE-residual fieldwise convergence guard
+(the f32 solve must reach the reference's convergence measure on the
+recomputed b - A x).  A second, like-for-like **f64 datapoint** (the
+reference's PETSc pipeline is all-f64) is then run and logged to stderr
+as `f64 datapoint: {...}` — disable with BENCH_F64=0.
+
 Extra diagnostics (SpMV nnz/s, iterations, dof count) go to stderr.
 """
 
@@ -31,11 +37,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    N = int(os.environ.get("BENCH_N", "13"))
-    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+def run_bench(dtype_name, N, strict=True):
+    """One full bench pass at the given dtype; returns the record dict.
+
+    strict=True exits the process on a failed convergence guard (the
+    headline datapoint must be valid); strict=False raises instead so a
+    secondary datapoint can be reported as failed without killing the run.
+    """
     if dtype_name in ("float64", "f64", "double"):
         jax.config.update("jax_enable_x64", True)
+        dtype_name = "float64"
         dtype = jnp.float64
     else:
         dtype = jnp.float32
@@ -103,7 +114,7 @@ def main():
     res = problem._jit_solve(problem.A_dev, problem.pc, b, x0)
     res.x.block_until_ready()
     log(
-        f"compile+first solve: {time.perf_counter() - t0:.1f}s, "
+        f"compile+first solve [{dtype_name}]: {time.perf_counter() - t0:.1f}s, "
         f"iters={int(res.iters)} converged={bool(res.converged)} "
         f"res={float(res.res):.3e}"
     )
@@ -136,8 +147,10 @@ def main():
     ea, er = fw.errors(rvec)
     log(f"true residual fieldwise: abs={float(ea):.3e} rel={float(er):.3e}")
     if not bool(res.converged) or not (float(ea) < 1e-7 or float(er) < 1e-5):
-        log("BENCH INVALID: solve did not converge to a correct solution")
-        sys.exit(1)
+        log(f"BENCH INVALID [{dtype_name}]: solve did not converge to a correct solution")
+        if strict:
+            sys.exit(1)
+        raise RuntimeError("secondary bench datapoint failed its convergence guard")
 
     # SpMV throughput on the block operator
     A = problem.A_dev
@@ -152,17 +165,45 @@ def main():
     spmv_s = (time.perf_counter() - t0) / reps
     nnz_padded = sum(int(e.nnz_padded) for e in A.blocks.values())
     log(
-        f"solve: {solve_s:.4f}s ({iters} iters), "
+        f"solve [{dtype_name}]: {solve_s:.4f}s ({iters} iters), "
         f"SpMV: {spmv_s * 1e3:.3f}ms, padded nnz/s={nnz_padded / spmv_s:.3e}"
     )
+
+    return {
+        "metric": "swelling3d_step_solve_time",
+        "value": round(solve_s, 5),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SOLVE_S / solve_s, 3),
+        "dtype": dtype_name,
+        "dofs": int(problem.W.num_dofs),
+        "iters": iters,
+    }
+
+
+def main():
+    N = int(os.environ.get("BENCH_N", "13"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+
+    headline = run_bench(dtype_name, N, strict=True)
+
+    # like-for-like f64 datapoint (the reference pipeline is all-f64);
+    # logged to stderr so the headline stays the tuned f32 point guarded
+    # by the true-residual test above
+    if dtype_name == "float32" and os.environ.get("BENCH_F64", "1") != "0":
+        f64_n = int(os.environ.get("BENCH_F64_N", str(N)))
+        try:
+            rec = run_bench("float64", f64_n, strict=False)
+            log("f64 datapoint: " + json.dumps(rec))
+        except Exception as e:  # noqa: BLE001 — secondary point must not kill the bench
+            log(f"f64 datapoint: FAILED ({type(e).__name__}: {e})")
 
     print(
         json.dumps(
             {
-                "metric": "swelling3d_step_solve_time",
-                "value": round(solve_s, 5),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_SOLVE_S / solve_s, 3),
+                "metric": headline["metric"],
+                "value": headline["value"],
+                "unit": headline["unit"],
+                "vs_baseline": headline["vs_baseline"],
             }
         )
     )

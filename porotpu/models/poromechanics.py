@@ -20,6 +20,7 @@ reference's ParMETIS mesh partition (SURVEY.md §2.5).
 from __future__ import annotations
 
 import math
+import os
 import time as _time
 
 import jax
@@ -851,6 +852,12 @@ class Poromechanics(AbstractPhysics):
 
     def print_timings(self):
         parprint("\n===== Timing Solver: {:.3f}s".format(self.t_solve_total))
+        # The per-stage breakdown compiles each PC stage standalone (three
+        # extra XLA compiles) — that cost is fine at the end of a real run
+        # (reference parity, lib/Preconditioner.py:252-260) but dominates
+        # tiny smoke runs; PORO_PC_TIMINGS=0 keeps just the solver total.
+        if os.environ.get("PORO_PC_TIMINGS", "1") == "0":
+            return
         if self.pc_applies > 0 and getattr(self, "pc", None) is not None:
             # reference PreconditionerCC.print_timings format
             # (lib/Preconditioner.py:252-260)

@@ -45,13 +45,35 @@ from ..precond.inner import InnerSolver
 from ..precond.schur import SchurFieldsplit
 
 
-def solver_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the row-partition axis."""
+def solver_mesh(
+    n_devices: int | None = None, devices=None, n_hosts: int | None = None
+) -> Mesh:
+    """Mesh over the row-partition axis.
+
+    1-D ``("rows",)`` by default.  With ``n_hosts`` > 1, a 2-D
+    ``("hosts", "chips")`` mesh for multi-host pods: the row partition
+    shards over BOTH axes host-major, so every host owns one contiguous
+    slab of the lattice and — under the lexicographic numbering — only
+    the two slab-boundary halo planes per host cross DCN; all interior
+    halo collective-permutes stay on ICI.  This is the MPI-rank ≡
+    (node, local-rank) layout of the reference's `mpirun -np N` runs
+    (SURVEY.md §2.5) expressed as a GSPMD mesh; the solver code is
+    unchanged (it carries no axis names — see module docstring).
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
+    if n_hosts is not None and n_hosts > 1:
+        arr = np.array(devices).reshape(n_hosts, -1)
+        return Mesh(arr, ("hosts", "chips"))
     return Mesh(np.array(devices), ("rows",))
+
+
+def _row_axes(mesh: Mesh):
+    """The mesh axes the row dimension shards over (all of them, major
+    first: host-contiguous slabs on multi-host meshes)."""
+    return tuple(mesh.axis_names)
 
 
 def replicate(tree, mesh: Mesh):
@@ -71,7 +93,7 @@ def shard_vector(x, mesh: Mesh):
     """
     if getattr(x, "ndim", 1) == 0 or x.shape[0] % mesh.size:
         return jax.device_put(x, NamedSharding(mesh, P()))
-    return jax.device_put(x, NamedSharding(mesh, P("rows")))
+    return jax.device_put(x, NamedSharding(mesh, P(_row_axes(mesh))))
 
 
 def shard_ell(E, mesh: Mesh):
@@ -86,6 +108,7 @@ def shard_ell(E, mesh: Mesh):
         axis = spec.index("rows") if "rows" in spec else None
         if axis is not None and arr.shape[axis] % mesh.size:
             return jax.device_put(arr, NamedSharding(mesh, P()))
+        spec = tuple(_row_axes(mesh) if s == "rows" else s for s in spec)
         return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 
     if isinstance(E, Transposed):

@@ -219,11 +219,12 @@ def test_swelling_inner_accel_order_gmres():
     assert rel < 1e-5, f"accelerated rel err {rel}"
 
 
-def test_inner_monitor_and_pc_timings(capsys):
+def test_inner_monitor_and_pc_timings(capsys, monkeypatch):
     """Observability parity: "inner monitor" prints per-apply inner-solve
     residuals from inside the jitted solve (reference inner KSP monitors,
     lib/Parser.py:27-28), and print_timings reports the per-stage PC
     breakdown (lib/Preconditioner.py:252-260)."""
+    monkeypatch.setenv("PORO_PC_TIMINGS", "1")  # conftest disables it suite-wide
     problem = benchmarks.swelling(
         Nelements=4,
         overrides={
