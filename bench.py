@@ -37,12 +37,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_bench(dtype_name, N, strict=True):
+def run_bench(dtype_name, N, strict=True, pc_dtype=None):
     """One full bench pass at the given dtype; returns the record dict.
 
     strict=True exits the process on a failed convergence guard (the
     headline datapoint must be valid); strict=False raises instead so a
     secondary datapoint can be reported as failed without killing the run.
+    pc_dtype: optional lower precision for the preconditioner payloads
+    (mixed-precision operating point, precond/block.py:CastPC) — the
+    outer FGMRES/residual arithmetic and the convergence guard stay at
+    ``dtype_name``.
     """
     if dtype_name in ("float64", "f64", "double"):
         jax.config.update("jax_enable_x64", True)
@@ -50,6 +54,8 @@ def run_bench(dtype_name, N, strict=True):
         dtype = jnp.float64
     else:
         dtype = jnp.float32
+    if pc_dtype == dtype_name:
+        pc_dtype = None
 
     from porotpu.models import benchmarks
     from porotpu.utils import cache
@@ -74,8 +80,9 @@ def run_bench(dtype_name, N, strict=True):
 
     t0 = time.perf_counter()
     key = cache.config_key(
-        bench="swelling3d", N=N, schema=4, ksp=inner_ksp, ii=inner_iters,
+        bench="swelling3d", N=N, schema=5, ksp=inner_ksp, ii=inner_iters,
         box=amg_box or "auto", sw=amg_sweeps or "auto", dt=dtype_name,
+        pcdt=pc_dtype or dtype_name,
     )
     cpath = f".cache/bench_{key}.pkl"
     problem = benchmarks.swelling_3d(
@@ -95,6 +102,7 @@ def run_bench(dtype_name, N, strict=True):
             # building/uploading them
             "rhs mode": "loads-only",
             "dtype": dtype_name,
+            **({"pc dtype": pc_dtype} if pc_dtype else {}),
         },
         dtype=dtype,
     )
@@ -164,9 +172,36 @@ def run_bench(dtype_name, N, strict=True):
     y.block_until_ready()
     spmv_s = (time.perf_counter() - t0) / reps
     nnz_padded = sum(int(e.nnz_padded) for e in A.blocks.values())
+
+    # HBM roofline: measure the chip's streaming peak with a same-dtype
+    # triad (y = a*x + y: 3 arrays touched/rep), then state the SpMV's
+    # effective bandwidth as a fraction of it.  The banded sweep's traffic
+    # floor is one read of the diagonal data + one read of x + one write
+    # of y per matvec (the shifted slices of x re-read cached lines; we
+    # charge them once — the DATA stream dominates at 40-240 diagonals).
+    itemsize = np.dtype(np.float32 if dtype == jnp.float32 else np.float64).itemsize
+    nt = min(64 * 1024 * 1024, max(nnz_padded, 8 * 1024 * 1024))
+    xa = jnp.ones((nt,), dtype=dtype)
+    ya = jnp.ones((nt,), dtype=dtype)
+    triad = jax.jit(lambda x, y: 1.0001 * x + y)
+    z = triad(xa, ya)
+    z.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        z = triad(xa, z)
+    z.block_until_ready()
+    triad_s = (time.perf_counter() - t0) / 10
+    peak_gbs = 3 * nt * itemsize / triad_s / 1e9
+    nvec = int(b.shape[0])
+    spmv_gbs = (nnz_padded + 2 * nvec) * itemsize / spmv_s / 1e9
     log(
         f"solve [{dtype_name}]: {solve_s:.4f}s ({iters} iters), "
         f"SpMV: {spmv_s * 1e3:.3f}ms, padded nnz/s={nnz_padded / spmv_s:.3e}"
+    )
+    log(
+        f"roofline [{dtype_name}]: SpMV {spmv_gbs:.1f} GB/s = "
+        f"{100 * spmv_gbs / peak_gbs:.1f}% of measured stream peak "
+        f"{peak_gbs:.1f} GB/s (triad, {3 * nt * itemsize / 1e6:.0f} MB/rep)"
     )
 
     return {
@@ -175,6 +210,7 @@ def run_bench(dtype_name, N, strict=True):
         "unit": "s",
         "vs_baseline": round(BASELINE_SOLVE_S / solve_s, 3),
         "dtype": dtype_name,
+        **({"pc_dtype": pc_dtype} if pc_dtype else {}),
         "dofs": int(problem.W.num_dofs),
         "iters": iters,
     }
@@ -186,17 +222,9 @@ def main():
 
     headline = run_bench(dtype_name, N, strict=True)
 
-    # like-for-like f64 datapoint (the reference pipeline is all-f64);
-    # logged to stderr so the headline stays the tuned f32 point guarded
-    # by the true-residual test above
-    if dtype_name == "float32" and os.environ.get("BENCH_F64", "1") != "0":
-        f64_n = int(os.environ.get("BENCH_F64_N", str(N)))
-        try:
-            rec = run_bench("float64", f64_n, strict=False)
-            log("f64 datapoint: " + json.dumps(rec))
-        except Exception as e:  # noqa: BLE001 — secondary point must not kill the bench
-            log(f"f64 datapoint: FAILED ({type(e).__name__}: {e})")
-
+    # print + flush the validated headline BEFORE any secondary pass: an
+    # uncatchable failure there (OOM, wedged TPU tunnel) must not lose the
+    # one-JSON-line stdout contract
     print(
         json.dumps(
             {
@@ -205,8 +233,23 @@ def main():
                 "unit": headline["unit"],
                 "vs_baseline": headline["vs_baseline"],
             }
-        )
+        ),
+        flush=True,
     )
+
+    # like-for-like f64-ACCURACY datapoint (the reference pipeline is
+    # all-f64): f64 outer FGMRES + true-residual guard with the PC
+    # payloads at f32 (CastPC mixed precision) — logged to stderr so the
+    # headline stays the tuned f32 point.  BENCH_F64_PC=float64 forces the
+    # all-f64 point instead; BENCH_F64=0 skips.
+    if dtype_name == "float32" and os.environ.get("BENCH_F64", "1") != "0":
+        f64_n = int(os.environ.get("BENCH_F64_N", str(N)))
+        f64_pc = os.environ.get("BENCH_F64_PC", "float32")
+        try:
+            rec = run_bench("float64", f64_n, strict=False, pc_dtype=f64_pc)
+            log("f64 datapoint: " + json.dumps(rec))
+        except Exception as e:  # noqa: BLE001 — secondary point must not kill the bench
+            log(f"f64 datapoint: FAILED ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

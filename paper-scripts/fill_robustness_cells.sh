@@ -4,7 +4,7 @@
 #   - footing {2-way,3-way} inexact, N=10..80
 #   - swelling 3-way inexact N=160 (truncated in an earlier run)
 # Ordered smallest-first so results land incrementally.
-set -u
+set -u -o pipefail
 TF=${TF:-0.02}
 export PORO_PLATFORM=${PORO_PLATFORM:-cpu}
 OUTDIR=output
@@ -14,8 +14,12 @@ run_case () {
     local DRIVER=$1 N=$2 OPTS=$3 PC=$4 OUT=$5
     echo "" | tee -a $OUT
     echo "$DRIVER pc='$PC' N=$N opts=$OPTS" | tee -a $OUT
-    python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" \
-        --time-final $TF | tee -a $OUT
+    # pipefail + explicit marker: a crashed/killed driver must leave a
+    # detectable FAILED cell, not a silently truncated log entry
+    if ! python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" \
+        --time-final $TF | tee -a $OUT; then
+        echo "FAILED (driver exit nonzero)" | tee -a $OUT
+    fi
 }
 
 for N in 10 20; do

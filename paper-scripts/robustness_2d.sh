@@ -4,7 +4,7 @@
 # {swelling, footing} x {2-way, 3-way} x {exact, inexact} inner solves.
 # NOTE: Run from repo root.  Writes iteration logs into output/*.out.
 
-set -u
+set -u -o pipefail
 DO_EXACT=${DO_EXACT:-true}
 DO_INEXACT=${DO_INEXACT:-true}
 NS_SWELLING=${NS_SWELLING:-"10 20 40 80 160"}
@@ -26,8 +26,11 @@ run_case () {
     local DRIVER=$1 N=$2 OPTS=$3 PC=$4 OUT=$5
     echo "" | tee -a $OUT
     echo "$DRIVER pc='$PC' N=$N opts=$OPTS" | tee -a $OUT
-    python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" \
-        --time-final $TF | tee -a $OUT
+    # pipefail + marker: a crashed driver leaves a detectable FAILED cell
+    if ! python $DRIVER -N $N --petsc-options $OPTS --pc-type "$PC" \
+        --time-final $TF | tee -a $OUT; then
+        echo "FAILED (driver exit nonzero)" | tee -a $OUT
+    fi
 }
 
 if [ "$DO_EXACT" = true ]; then

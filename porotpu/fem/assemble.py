@@ -265,7 +265,14 @@ def div_coupling(
 
 
 def cell_load(space: FunctionSpace, f_at_nodes=None, f_const=None) -> np.ndarray:
-    """∫ f . v dx with f constant (f_const) or nodal (interpolated, P-space).
+    """∫ f . v dx with f constant (f_const) or nodal (f_at_nodes).
+
+    ``f_at_nodes`` is the load interpolated onto the space's own nodes
+    (flat, component-interleaved for vector spaces, length num_dofs): the
+    assembled form is then exactly M @ f with M the space's mass matrix,
+    computed cell-wise — matching the reference's assembly of arbitrary
+    expression-valued volume loads fs_vol/ff_vol/p_source
+    (lib/Assembler.py:243-259) up to interpolation of f.
 
     Returns dense vector of size space.num_dofs.
     """
@@ -283,7 +290,21 @@ def cell_load(space: FunctionSpace, f_at_nodes=None, f_const=None) -> np.ndarray
         else:
             np.add.at(b, space.cell_dofs, Fa * float(f_const[0]))
         return b
-    raise NotImplementedError("nodal volume loads not needed by the benchmarks")
+    f = np.asarray(f_at_nodes, dtype=float).ravel()
+    if f.size != space.num_dofs:
+        raise ValueError(
+            f"f_at_nodes has {f.size} values, space has {space.num_dofs} dofs"
+        )
+    # reference element mass: Me[a,b] = sum_q w_q phi_qa phi_qb (symmetric)
+    Me = np.einsum("q,qa,qb->ab", wts, phi, phi)
+    if space.vector:
+        for c in range(space.ncomp):
+            dofs_c = space.cell_dofs[:, c :: space.ncomp]
+            np.add.at(b, dofs_c, detJ[:, None] * (f[dofs_c] @ Me))
+    else:
+        dofs = space.cell_dofs
+        np.add.at(b, dofs, detJ[:, None] * (f[dofs] @ Me))
+    return b
 
 
 def _facet_tabulation(space: FunctionSpace, facet_ids: np.ndarray):

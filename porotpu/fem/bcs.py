@@ -103,6 +103,30 @@ def apply_bcs_matrix(A: sp.csr_matrix, dofs: np.ndarray) -> sp.csr_matrix:
     return A
 
 
+def zero_rows(A: sp.csr_matrix, rows: np.ndarray, unit_diag=False) -> sp.csr_matrix:
+    """Per-block BC row surgery: zero the rows; optionally set diag to 1.
+
+    The per-field-block equivalent of apply_bcs_matrix on the monolithic
+    operator (diagonal blocks get the unit diagonal, off-diagonal blocks
+    just lose their BC rows) — lets _build_operators skip the
+    bmat/pad/re-slice round trip over the full nnz.
+    """
+    A = A.tocsr(copy=True)
+    if rows.size == 0:
+        return A
+    mask = np.zeros(A.shape[0], dtype=bool)
+    mask[rows] = True
+    row_of_nnz = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+    A.data[mask[row_of_nnz]] = 0.0
+    if unit_diag:
+        d = sp.csr_matrix(
+            (np.ones(rows.size), (rows, rows)), shape=A.shape
+        )
+        A = (A + d).tocsr()
+        A.sum_duplicates()
+    return A
+
+
 def apply_bcs_vector(b: np.ndarray, dofs: np.ndarray, values: np.ndarray):
     b = np.array(b, copy=True)
     b[dofs] = values

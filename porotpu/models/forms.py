@@ -360,26 +360,39 @@ class PoromechanicsAssembler:
             b[ss] += assemble.facet_load(Vs, self.dsNs, self.fs_sur, t)
         if self.ff_sur is not None:
             b[fs] += assemble.facet_load(Vf, self.dsNf, self.ff_sur, t)
-        # constant volume loads (zero in all reference drivers)
+        # volume loads (zero in all reference drivers, but a stated
+        # capability: arbitrary expression-valued fs_vol/ff_vol/p_source,
+        # lib/Assembler.py:243-259).  Loads are evaluated pointwise at the
+        # space's nodes and integrated as the interpolant (assemble.
+        # cell_load nodal path); spatially-constant values take the
+        # cheaper closed-form path.
         if self.fs_vol is not None:
-            v = np.asarray(self.fs_vol.eval(t, np.zeros((1, self.dim))), dtype=float)
-            if np.any(v != 0):
-                b[ss] += self.phis * self.rhos * assemble.cell_load(
-                    Vs, f_const=v.ravel()[: self.dim]
-                )
+            b[ss] += self.phis * self.rhos * self._vol_load(Vs, self.fs_vol, t)
         if self.ff_vol is not None:
-            v = np.asarray(self.ff_vol.eval(t, np.zeros((1, self.dim))), dtype=float)
-            if np.any(v != 0):
-                b[fs] += self.phi0 * self.rhof * assemble.cell_load(
-                    Vf, f_const=v.ravel()[: self.dim]
-                )
+            b[fs] += self.phi0 * self.rhof * self._vol_load(Vf, self.ff_vol, t)
         if self.p_source is not None:
-            v = np.asarray(self.p_source.eval(t, np.zeros((1, self.dim))), dtype=float)
-            if np.any(v != 0):
-                b[ps] += (1.0 / self.rhof) * assemble.cell_load(
-                    Qp, f_const=float(v.ravel()[0])
-                )
+            b[ps] += (1.0 / self.rhof) * self._vol_load(Qp, self.p_source, t)
         return b
+
+    def _vol_load(self, space, load, t) -> np.ndarray:
+        """∫ f . v dx for a pointwise volume load object (models/loads.py)."""
+        x = space.node_coords
+        v = np.asarray(load.eval(t, x), dtype=float)
+        ncomp = space.ncomp if space.vector else 1
+        # broadcast scalars / per-component constants to (n_nodes, ncomp)
+        if v.ndim == 0 or (v.ndim == 1 and space.vector and v.size == ncomp):
+            v = np.broadcast_to(v, (x.shape[0], ncomp) if space.vector else (x.shape[0],))
+        if not np.any(v != 0):
+            return 0.0
+        if space.vector:
+            vals = np.broadcast_to(np.atleast_2d(v), (x.shape[0], ncomp))
+            if (vals == vals[0]).all():
+                return assemble.cell_load(space, f_const=vals[0])
+            return assemble.cell_load(space, f_at_nodes=vals.ravel())
+        vals = np.broadcast_to(v.ravel(), (x.shape[0],))
+        if (vals == vals[0]).all():
+            return assemble.cell_load(space, f_const=float(vals[0]))
+        return assemble.cell_load(space, f_at_nodes=vals)
 
     def history_terms(self):
         """History-field RHS contributions in factored form.

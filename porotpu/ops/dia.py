@@ -23,9 +23,24 @@ Tall-skinny blocks (P1 rows x P2 cols, e.g. divergence rows) use the
 ``Transposed`` wrapper: the transpose is banded under a row embedding and
 is applied with ``rmatvec``.
 
-Large diagonal counts are applied with a chunked ``lax.scan`` (dynamic
-slice starts) instead of a fully unrolled fused loop, bounding the XLA
-graph size; small counts unroll for maximum fusion.
+Distributed execution (``dist`` static tag, set by parallel.shard_ell):
+
+- ``("halo", mesh)`` — the production sharded path: a ``shard_map`` over
+  the row mesh exchanges ONE left and ONE right boundary slab of width
+  max|offset| per product (two ``ppermute``s), then runs the whole
+  shifted-slice sweep on purely LOCAL arrays.  This is the aggregated
+  halo exchange of PETSc MatMult's single VecScatter per product
+  (lib/AAR.py:135, SURVEY §2.5) — previously each diagonal's shifted
+  slice lowered to its own collective-permute under GSPMD (~240
+  exchanges per 3D matvec).
+- ``("gspmd",)`` — row-sharded fallback when the halo slab does not fit
+  one shard (or the embedding space differs from the row space): fully
+  unrolled static-slice sweep, which GSPMD lowers to per-diagonal
+  neighbor collective-permutes (correct, gather-free, more latency).
+- ``("repl",)`` / ``None`` — replicated / single-device: slices are
+  local, so large diagonal counts use a chunked ``lax.scan`` (dynamic
+  slice starts) instead of a fully unrolled loop, bounding the XLA graph
+  size (and therefore compile time); small counts unroll for fusion.
 
 Reference parity: replaces createSubMatrix products (lib/Preconditioner.py
 60-75) and MatMult throughout.
@@ -39,17 +54,103 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax.sharding import PartitionSpec as P
 
-# diagonals <= UNROLL_MAX are applied as a fully unrolled (XLA-fused)
-# slice loop; more are applied as a lax.scan over chunks of CHUNK.
-# The unrolled path's slice starts are STATIC, which GSPMD lowers to
-# neighbor collective-permutes on a row-sharded mesh; the scan path's
-# traced starts force full-vector all-gathers (HLO-audited).  384 covers
-# every production operator (2D blocks 43-176 diagonals, 3D fine ops 240,
-# 3D prolongators 368) so the sharded solve stays gather-free; scan
-# remains the guard for pathological diagonal counts.
+# Unroll/scan thresholds for the shifted-slice sweep.
+# - UNROLL_MAX guards the ("gspmd",) row-sharded fallback: that path's
+#   scan would use traced slice starts, which GSPMD lowers to full-vector
+#   all-gathers (HLO-audited), so it stays fully unrolled up to 384
+#   diagonals (covers all production operators: 2D blocks 43-176, 3D fine
+#   ops 240, 3D prolongators 368).
+# - UNROLL_LOCAL applies when slices are provably local (single-device,
+#   replicated, or inside the shard_map halo path): above it the sweep
+#   runs as a lax.scan over CHUNK-diagonal chunks, shrinking the HLO by
+#   ~nd/CHUNK and with it XLA compile time.
 UNROLL_MAX = int(os.environ.get("PORO_DIA_UNROLL", "384"))
+UNROLL_LOCAL = int(os.environ.get("PORO_DIA_UNROLL_LOCAL", "48"))
 CHUNK = int(os.environ.get("PORO_DIA_CHUNK", "16"))
+
+
+def _varying(y, vary):
+    """Mark a freshly-created array as varying over shard_map mesh axes.
+
+    lax.scan requires carry input/output types to match; inside a
+    shard_map body the accumulator must be explicitly cast to varying
+    before it can carry per-shard values."""
+    if vary:
+        return jax.lax.pcast(y, vary, to="varying")
+    return y
+
+
+def _mv_sweep(data, offsets, xpad, base, n, unroll, vary=()):
+    """y[i] = sum_d data[d, i] * xpad[base + offsets[d] + i], i in [0, n).
+
+    Unrolled static slices up to ``unroll`` diagonals; above that a
+    lax.scan over CHUNK-diagonal chunks (+ an unrolled remainder tail).
+    """
+    nd = data.shape[0]
+    y = _varying(jnp.zeros(n, dtype=xpad.dtype), vary)
+    if nd <= unroll:
+        for d, o in enumerate(offsets):
+            y = y + data[d] * jax.lax.dynamic_slice(xpad, (base + o,), (n,))
+        return y
+    nmain = (nd // CHUNK) * CHUNK
+    starts = jnp.asarray(
+        [base + o for o in offsets[:nmain]], dtype=jnp.int32
+    ).reshape(-1, CHUNK)
+    dchunks = data[:nmain].reshape(-1, CHUNK, data.shape[1])
+
+    def body(y, args):
+        dat, st = args
+        for j in range(CHUNK):
+            y = y + dat[j] * jax.lax.dynamic_slice(xpad, (st[j],), (n,))
+        return y, None
+
+    y, _ = jax.lax.scan(body, y, (dchunks, starts))
+    for d in range(nmain, nd):
+        y = y + data[d] * jax.lax.dynamic_slice(
+            xpad, (base + offsets[d],), (n,)
+        )
+    return y
+
+
+def _rmv_sweep(dpad, offsets, xpad, base, m, unroll, vary=()):
+    """y[k] = sum_d dpad[d, base - offsets[d] + k] * xpad[base - offsets[d] + k].
+
+    The transpose sweep: both the (padded) data row and the (padded)
+    input are read through the same shifted window.  Same unroll/scan
+    structure as _mv_sweep.
+    """
+    nd = dpad.shape[0]
+    y = _varying(jnp.zeros(m, dtype=xpad.dtype), vary)
+    if nd <= unroll:
+        for d, o in enumerate(offsets):
+            st = base - o
+            y = y + jax.lax.dynamic_slice(dpad[d], (st,), (m,)) * (
+                jax.lax.dynamic_slice(xpad, (st,), (m,))
+            )
+        return y
+    nmain = (nd // CHUNK) * CHUNK
+    starts = jnp.asarray(
+        [base - o for o in offsets[:nmain]], dtype=jnp.int32
+    ).reshape(-1, CHUNK)
+    dchunks = dpad[:nmain].reshape(-1, CHUNK, dpad.shape[1])
+
+    def body(y, args):
+        dat, st = args
+        for j in range(CHUNK):
+            y = y + jax.lax.dynamic_slice(dat[j], (st[j],), (m,)) * (
+                jax.lax.dynamic_slice(xpad, (st[j],), (m,))
+            )
+        return y, None
+
+    y, _ = jax.lax.scan(body, y, (dchunks, starts))
+    for d in range(nmain, nd):
+        st = base - offsets[d]
+        y = y + jax.lax.dynamic_slice(dpad[d], (st,), (m,)) * (
+            jax.lax.dynamic_slice(xpad, (st,), (m,))
+        )
+    return y
 
 
 @jax.tree_util.register_pytree_node_class
@@ -60,9 +161,13 @@ class DIA:
     offsets: static tuple[int]
     col_emb: optional (ncols,) int32 — embedding of column indices into row
         space; None means emb = identity (ncols-dim input read in place).
+    dist: static distribution tag (see module docstring): None,
+        ("repl",), ("gspmd",), or ("halo", Mesh).
     """
 
-    def __init__(self, data, offsets, nrows, ncols, col_emb=None, ne=None):
+    def __init__(
+        self, data, offsets, nrows, ncols, col_emb=None, ne=None, dist=None
+    ):
         self.data = data
         self.offsets = tuple(int(o) for o in offsets)
         self.nrows = int(nrows)
@@ -76,6 +181,7 @@ class DIA:
             else:
                 ne = max(self.nrows, int(np.max(np.asarray(col_emb))) + 1)
         self.ne = int(ne)
+        self.dist = dist
 
     def tree_flatten(self):
         return (self.data, self.col_emb), (
@@ -83,13 +189,14 @@ class DIA:
             self.nrows,
             self.ncols,
             self.ne,
+            self.dist,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, col_emb = children
-        offsets, nrows, ncols, ne = aux
-        return cls(data, offsets, nrows, ncols, col_emb, ne)
+        offsets, nrows, ncols, ne, dist = aux
+        return cls(data, offsets, nrows, ncols, col_emb, ne, dist)
 
     @property
     def shape(self):
@@ -126,17 +233,13 @@ class DIA:
         if max_diags is not None and len(offsets) > max_diags:
             return None
         nd = max(len(offsets), 1)
-        # pad the diagonal count to a CHUNK multiple when the scan path will
-        # be used (zero rows contribute nothing; offset 0 keeps pads legal)
-        nd_store = nd if nd <= UNROLL_MAX else ((nd + CHUNK - 1) // CHUNK) * CHUNK
         didx = np.searchsorted(offsets, off)
         # fill directly in the target dtype: the host VM pays first-touch
         # page faults at ~12 MB/s, so avoid a second full-size f64 temporary
         np_dtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
-        data = np.zeros((nd_store, n), dtype=np_dtype)
+        data = np.zeros((nd, n), dtype=np_dtype)
         data[didx, coo.row] = coo.data
         offs = list(int(o) for o in offsets) or [0]
-        offs += [0] * (nd_store - len(offs))
         emb = None if col_emb is None else jnp.asarray(col_emb, dtype=jnp.int32)
         return cls(jnp.asarray(data), tuple(offs), n, m, emb)
 
@@ -153,51 +256,175 @@ class DIA:
         hi = max(0, self.nrows - 1 + max(offs) - (ne - 1))
         return lo, hi, ne
 
+    def _unroll_limit(self):
+        # slices are provably shard-local on single-device / replicated
+        # data (and inside the shard_map halo body); the gspmd fallback
+        # must stay unrolled — its scan's traced slice starts would lower
+        # to full-vector all-gathers under GSPMD
+        if self.dist is None or self.dist[0] in ("repl", "halo"):
+            return UNROLL_LOCAL
+        return UNROLL_MAX
+
+    # -- halo-exchange (shard_map) path ---------------------------------
+
+    def _halo_widths(self):
+        offs = self.offsets
+        return max(0, -min(offs)), max(0, max(offs))
+
+    def _mesh_axes(self):
+        mesh = self.dist[1]
+        return mesh, tuple(mesh.axis_names)
+
+    def _linear_shard_index(self, mesh, axes):
+        s = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            s = s * mesh.shape[a] + jax.lax.axis_index(a)
+        return s
+
+    def _halo_matvec(self, x: jax.Array) -> jax.Array:
+        """One aggregated boundary-slab exchange per matvec.
+
+        Each shard ppermutes its trailing ``hl`` entries right and its
+        leading ``hr`` entries left (edge shards receive zeros — exactly
+        the global zero padding), concatenates [left | local | right],
+        and runs the full shifted-slice sweep on local arrays.  2
+        collective-permutes per product, independent of diagonal count.
+        """
+        mesh, axes = self._mesh_axes()
+        nsh = mesh.size
+        nloc = self.nrows // nsh
+        hl, hr = self._halo_widths()
+        offs = self.offsets
+        fwd = [(i, i + 1) for i in range(nsh - 1)]
+        bwd = [(i + 1, i) for i in range(nsh - 1)]
+
+        def exchange(xloc):
+            parts = []
+            if hl:
+                parts.append(jax.lax.ppermute(xloc[nloc - hl :], axes, fwd))
+            parts.append(xloc)
+            if hr:
+                parts.append(jax.lax.ppermute(xloc[:hr], axes, bwd))
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        if self.col_emb is None:
+
+            def local(data, xloc):
+                return _mv_sweep(data, offs, exchange(xloc), hl, nloc, UNROLL_LOCAL, vary=axes)
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(None, axes), P(axes)),
+                out_specs=P(axes),
+            )(self.data, x)
+
+        def local(data, xsmall, emb):
+            s = self._linear_shard_index(mesh, axes)
+            idx = emb - s * nloc
+            # negative traced indices WRAP in jax scatters (mode="drop"
+            # only drops idx >= n) — remap every out-of-shard index to the
+            # dropped sentinel nloc explicitly
+            idx = jnp.where((idx >= 0) & (idx < nloc), idx, nloc)
+            xloc = jnp.zeros(nloc, dtype=xsmall.dtype).at[idx].set(
+                xsmall, mode="drop"
+            )
+            return _mv_sweep(data, offs, exchange(xloc), hl, nloc, UNROLL_LOCAL, vary=axes)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axes), P(), P()),
+            out_specs=P(axes),
+        )(self.data, x, self.col_emb)
+
+    def _halo_rmatvec(self, x: jax.Array) -> jax.Array:
+        """Transpose product with one aggregated overflow exchange.
+
+        Each shard accumulates its rows' contributions into a local
+        window [-L, nloc+R), then ppermutes the L-wide left overflow to
+        its left neighbor and the R-wide right overflow to its right
+        neighbor (2 collective-permutes).  Embedded (coarse) outputs are
+        reduced with one small psum and returned replicated — the
+        coarse-grid-agglomeration convention of parallel/sharding.py.
+        """
+        mesh, axes = self._mesh_axes()
+        nsh = mesh.size
+        nloc = self.nrows // nsh
+        L, R = self._halo_widths()
+        offs = self.offsets
+        nacc = nloc + L + R
+        pl = L + R  # window-read padding (see _rmv_sweep bound analysis)
+        fwd = [(i, i + 1) for i in range(nsh - 1)]
+        bwd = [(i + 1, i) for i in range(nsh - 1)]
+
+        def accumulate(data, xloc):
+            xp = jnp.pad(xloc, (pl, pl))
+            dp = jnp.pad(data, ((0, 0), (pl, pl)))
+            acc = _rmv_sweep(dp, offs, xp, pl - L, nacc, UNROLL_LOCAL, vary=axes)
+            y = acc[L : L + nloc]
+            if L:
+                y = y.at[nloc - L :].add(jax.lax.ppermute(acc[:L], axes, bwd))
+            if R:
+                y = y.at[:R].add(jax.lax.ppermute(acc[L + nloc :], axes, fwd))
+            return y
+
+        if self.col_emb is None:
+
+            def local(data, xloc):
+                return accumulate(data, xloc)
+
+            y = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(None, axes), P(axes)),
+                out_specs=P(axes),
+            )(self.data, x)
+            return y[: self.ncols]  # ncols == ne == nrows on this path
+
+        def local(data, xloc, emb):
+            y = accumulate(data, xloc)
+            s = self._linear_shard_index(mesh, axes)
+            idx = emb - s * nloc
+            valid = (idx >= 0) & (idx < nloc)
+            vals = jnp.where(valid, y[jnp.clip(idx, 0, nloc - 1)], 0)
+            return jax.lax.psum(vals, axes)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axes), P(axes), P()),
+            out_specs=P(),
+        )(self.data, x, self.col_emb)
+
     # -- products -------------------------------------------------------
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.dist is not None and self.dist[0] == "halo":
+            return self._halo_matvec(x)
         lo, hi, ne = self._pads()
         if self.col_emb is not None:
             xe = jnp.zeros(ne, dtype=x.dtype).at[self.col_emb].set(x)
         else:
             xe = x
         xpad = jnp.pad(xe, (lo, hi))
-        nd = self.data.shape[0]
-        y = jnp.zeros(self.nrows, dtype=x.dtype)
-        if nd <= UNROLL_MAX:
-            for d, o in enumerate(self.offsets):
-                y = y + self.data[d] * jax.lax.dynamic_slice(
-                    xpad, (lo + o,), (self.nrows,)
-                )
-            return y
-        # scan path: CHUNK diagonals per step, dynamic slice starts
-        starts = jnp.asarray(
-            [lo + o for o in self.offsets], dtype=jnp.int32
-        ).reshape(-1, CHUNK)
-        dchunks = self.data.reshape(-1, CHUNK, self.nrows)
-
-        def body(y, args):
-            dat, st = args
-            for j in range(CHUNK):
-                y = y + dat[j] * jax.lax.dynamic_slice(
-                    xpad, (st[j],), (self.nrows,)
-                )
-            return y, None
-
-        y, _ = jax.lax.scan(body, y, (dchunks, starts))
-        return y
+        return _mv_sweep(
+            self.data, self.offsets, xpad, lo, self.nrows, self._unroll_limit()
+        )
 
     def rmatvec(self, x: jax.Array) -> jax.Array:
         """A^T @ x as a sum of shifted static slices (scatter-free).
 
         (A^T x)[i+o] += data[d, i] * x[i]  =>  y = sum_d shift(data[d]*x, o),
         i.e. the transpose is the same gather-free shifted-slice sweep as
-        ``matvec``, only shifting the *product* instead of the input.  Pure
-        shifted reads: under a row-sharded mesh GSPMD lowers them to
-        neighbor collective-permutes (an earlier read-modify-write
-        formulation with dynamic_update_slice forced full-vector
-        all-gathers every application).
+        ``matvec``, only shifting the *product* instead of the input.
+        Under the halo dist the overflow slabs are exchanged explicitly
+        (_halo_rmatvec); under gspmd the shifted reads lower to neighbor
+        collective-permutes (an earlier read-modify-write formulation
+        with dynamic_update_slice forced full-vector all-gathers).
         """
+        if self.dist is not None and self.dist[0] == "halo":
+            return self._halo_rmatvec(x)
         lo, hi, ne = self._pads()
         # pad x and data ONCE, then read a shifted window per diagonal
         # (the pad-once / slice-many structure GSPMD lowers to neighbor
@@ -208,28 +435,9 @@ class DIA:
         phi = max(0, ne - min(self.offsets) - self.nrows)
         xpad = jnp.pad(x, (plo, phi))
         dpad = jnp.pad(self.data, ((0, 0), (plo, phi)))
-        nd = self.data.shape[0]
-        y = jnp.zeros(ne, dtype=x.dtype)
-        if nd <= UNROLL_MAX:
-            for d, o in enumerate(self.offsets):
-                y = y + jax.lax.dynamic_slice(
-                    dpad[d], (plo - o,), (ne,)
-                ) * jax.lax.dynamic_slice(xpad, (plo - o,), (ne,))
-        else:
-            starts = jnp.asarray(
-                [plo - o for o in self.offsets], dtype=jnp.int32
-            ).reshape(-1, CHUNK)
-            dchunks = dpad.reshape(-1, CHUNK, dpad.shape[1])
-
-            def body(y, args):
-                dat, st = args
-                for j in range(CHUNK):
-                    y = y + jax.lax.dynamic_slice(
-                        dat[j], (st[j],), (ne,)
-                    ) * jax.lax.dynamic_slice(xpad, (st[j],), (ne,))
-                return y, None
-
-            y, _ = jax.lax.scan(body, y, (dchunks, starts))
+        y = _rmv_sweep(
+            dpad, self.offsets, xpad, plo, ne, self._unroll_limit()
+        )
         if self.col_emb is not None:
             return y[self.col_emb]
         return y[: self.ncols]

@@ -7,14 +7,18 @@ exchange and allreduce (SURVEY.md §2.5).  The TPU-native equivalent is a
 
 - matrix rows and all solver vectors are sharded over the "rows" mesh
   axis (block-row partition = mesh partition);
-- the production SpMV format is DIA (ops/dia.py): shifted *static slices*
-  of the row-sharded vector, which GSPMD lowers to **collective-permute
-  neighbor halo exchanges** — verified zero all-gathers in the compiled
-  HLO (tests/test_parallel.py::test_sharded_dia_spmv_uses_halo_exchange).
-  Under the lattice-lexicographic numbering a 1-D row partition's halo is
-  exactly the boundary plane, so this is the textbook domain-decomposition
-  halo pipeline (PETSc MatMult VecScatter, lib/AAR.py:135), produced by
-  the compiler from the shift-slice formulation rather than hand-written;
+- the production SpMV format is DIA (ops/dia.py): row-divisible banded
+  blocks get the **aggregated halo exchange** (`dist=("halo", mesh)`):
+  a shard_map that ppermutes ONE left + ONE right boundary slab of width
+  max|offset| per product and then runs the whole shifted-slice sweep on
+  local arrays — exactly PETSc MatMult's single VecScatter per product
+  (lib/AAR.py:135).  2 collective-permutes per matvec, independent of
+  diagonal count (pinned by tests/test_parallel.py::
+  test_sharded_dia_halo_is_aggregated; the earlier pure-GSPMD lowering
+  paid one permute per stored diagonal — 30,349 in the dryrun program).
+  Blocks whose halo slab exceeds a shard fall back to `("gspmd",)`:
+  unrolled static slices that GSPMD lowers to per-diagonal neighbor
+  permutes (correct, gather-free, more latency);
 - rectangular embedded blocks (P1->P2, prolongators) scatter their SMALL
   input into the row lattice; GSPMD gathers the small side — the analogue
   of PETSc's VecScatter of the (much smaller) coarse/P1 vector, bounded by
@@ -40,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.dia import DIA, Dense, Transposed
 from ..ops.sparse import ELL, FieldMatrix
 from ..precond.amg import AMG, AMGLevel
-from ..precond.block import BlockPreconditioner
+from ..precond.block import BlockPreconditioner, CastPC
 from ..precond.inner import InnerSolver
 from ..precond.schur import SchurFieldsplit
 
@@ -65,7 +69,25 @@ def solver_mesh(
         if n_devices is not None:
             devices = devices[:n_devices]
     if n_hosts is not None and n_hosts > 1:
+        if len(devices) % n_hosts:
+            raise ValueError(
+                f"solver_mesh: {len(devices)} devices do not divide into "
+                f"{n_hosts} hosts"
+            )
         arr = np.array(devices).reshape(n_hosts, -1)
+        # on real multi-host hardware the host-major reshape must group
+        # devices by owning process, or the "hosts" axis rides ICI and the
+        # "chips" axis rides DCN — exactly backwards
+        if jax.process_count() > 1:
+            pids = np.array([d.process_index for d in arr.ravel()]).reshape(
+                arr.shape
+            )
+            if not all(len(set(row)) == 1 for row in pids):
+                raise ValueError(
+                    "solver_mesh: device list is not process-major; each "
+                    "hosts-row must belong to a single process "
+                    f"(got process grid {pids.tolist()})"
+                )
         return Mesh(arr, ("hosts", "chips"))
     return Mesh(np.array(devices), ("rows",))
 
@@ -119,8 +141,25 @@ def shard_ell(E, mesh: Mesh):
         emb = E.col_emb
         if emb is not None:
             emb = jax.device_put(emb, NamedSharding(mesh, P()))
+        if E.nrows % mesh.size:
+            # mesh-indivisible (AMG coarse levels): replicate — the
+            # coarse-grid-agglomeration convention (see shard_vector)
+            return DIA(
+                jax.device_put(E.data, NamedSharding(mesh, P())),
+                E.offsets, E.nrows, E.ncols, emb, E.ne, dist=("repl",),
+            )
+        # halo path eligibility: the embedded input space must shard
+        # exactly like the rows (ne == nrows; square when col_emb=None),
+        # and the boundary slab of width max|offset| must fit one shard
+        # so a single-hop neighbor exchange suffices
+        nloc = E.nrows // mesh.size
+        hl = max(0, -min(E.offsets))
+        hr = max(0, max(E.offsets))
+        halo_ok = E.ne == E.nrows and hl <= nloc and hr <= nloc
+        dist = ("halo", mesh) if halo_ok else ("gspmd",)
         return DIA(
-            _put(E.data, (None, "rows")), E.offsets, E.nrows, E.ncols, emb, E.ne
+            _put(E.data, (None, "rows")), E.offsets, E.nrows, E.ncols, emb,
+            E.ne, dist=dist,
         )
     return ELL(
         _put(E.data, ("rows", None)), _put(E.cols, ("rows", None)), E.ncols
@@ -175,7 +214,7 @@ def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
 
 def shard_operator(op, mesh: Mesh):
     """Shard any solver-side operator pytree for mesh execution."""
-    if isinstance(op, ELL):
+    if isinstance(op, (ELL, DIA, Dense, Transposed)):
         return shard_ell(op, mesh)
     if isinstance(op, FieldMatrix):
         return FieldMatrix(
@@ -190,6 +229,8 @@ def shard_operator(op, mesh: Mesh):
             _shard_inner(op.solve_S, mesh),
             shard_ell(op.Apf, mesh),
         )
+    if isinstance(op, CastPC):
+        return CastPC(shard_operator(op.inner, mesh), op.out_dtype, op.in_dtype)
     if isinstance(op, BlockPreconditioner):
         sh = lambda x: shard_operator(x, mesh) if x is not None else None
         shv = lambda x: shard_vector(x, mesh) if x is not None else None

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.sparse import ELL
 from .inner import InnerSolver
@@ -115,3 +116,35 @@ class BlockPreconditioner:
         y_fs = jnp.concatenate([ys, yf, yp])
         y_diff = jnp.concatenate([ys_diff, yf_diff, yp_diff])
         return self.w1 * y_fs + self.w2 * y_diff
+
+
+@jax.tree_util.register_pytree_node_class
+class CastPC:
+    """Mixed-precision preconditioner wrapper.
+
+    Applies the wrapped PC in its own (lower) precision inside a
+    higher-precision outer Krylov solve: the standard TPU operating point
+    for matching the reference's all-f64 PETSc pipeline semantics —
+    right-preconditioned FGMRES keeps residuals/orthogonalization in f64
+    (so the converged solution meets f64 tolerances on the TRUE residual)
+    while the PC payloads (AMG hierarchies, coupling blocks, dense
+    factors) run at f32 speed and half the HBM traffic.  With right
+    preconditioning the PC only maps residuals to search directions, so
+    its precision affects the iteration count, never the attainable
+    accuracy.
+    """
+
+    def __init__(self, inner, out_dtype, in_dtype):
+        self.inner = inner
+        self.out_dtype = np.dtype(out_dtype)
+        self.in_dtype = np.dtype(in_dtype)
+
+    def tree_flatten(self):
+        return (self.inner,), (str(self.out_dtype), str(self.in_dtype))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    def __call__(self, x):
+        return self.inner(x.astype(self.in_dtype)).astype(self.out_dtype)

@@ -215,6 +215,12 @@ def remap_inner_iters(obj, iters: int):
             remap_inner_iters(c, iters) if c is not None else None for c in children
         )
         return BlockPreconditioner.tree_unflatten(aux, children)
+    from .block import CastPC
+
+    if isinstance(obj, CastPC):
+        return CastPC(
+            remap_inner_iters(obj.inner, iters), obj.out_dtype, obj.in_dtype
+        )
     return obj
 
 
@@ -259,6 +265,13 @@ def set_inner_monitor(obj, enable: bool, label: str = ""):
             ):
                 setattr(new, attr, set_inner_monitor(child, enable, lab))
         return new
+    from .block import CastPC
+
+    if isinstance(obj, CastPC):
+        return CastPC(
+            set_inner_monitor(obj.inner, enable, label), obj.out_dtype,
+            obj.in_dtype,
+        )
     return obj
 
 

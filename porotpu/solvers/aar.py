@@ -45,11 +45,14 @@ def aar(
     maxiter: int = 1000,
     pc_accel_order: int = 0,
     divtol: float = 1e20,
+    monitor: bool = False,
 ):
     """Solve A x = b with the preconditioned AAR method.
 
     Parameters mirror the reference dict keys "AAR order"/"AAR p"/
-    "AAR omega"/"AAR beta" (footing.py:80-83).
+    "AAR omega"/"AAR beta" (footing.py:80-83).  ``monitor`` prints the
+    per-iteration step type ``[R]``/``[A]`` and residual norm from inside
+    the jitted loop (reference lib/AAR.py:121-123).
     """
     n = b.shape[0]
     dt = b.dtype
@@ -110,6 +113,19 @@ def aar(
 
         x2 = jax.lax.cond(is_accel, accel, richardson, None)
         x2 = jnp.where(tiny, xk, x2)
+
+        if monitor:
+            # reference lib/AAR.py:121-123 prints the step type per it
+            jax.lax.cond(
+                is_accel,
+                lambda r: jax.debug.print(
+                    "---- [AAR] it {i}  [A] res = {r:.6e}", i=it, r=r
+                ),
+                lambda r: jax.debug.print(
+                    "---- [AAR] it {i}  [R] res = {r:.6e}", i=it, r=r
+                ),
+                fnorm,
+            )
 
         err_abs = fnorm
         err_rel = err_abs / error0

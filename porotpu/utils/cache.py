@@ -41,7 +41,7 @@ def config_key(**kwargs) -> str:
 # Bump whenever any cached pytree layout changes (ELL/DIA/AMG/PC classes).
 # A cache written under a different schema silently misses -> rebuild;
 # round 1 shipped a bench crash from exactly this (stale pickled AMG layout).
-SCHEMA = "r2.4"
+SCHEMA = "r4.1"  # r4: DIA aux gains the `dist` distribution tag
 
 
 def save(path: str, tree):

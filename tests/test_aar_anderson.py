@@ -114,3 +114,28 @@ def test_aar_pc_accel_order():
     assert bool(res.converged)
     xref = spla.spsolve(A.tocsc(), b)
     assert np.linalg.norm(np.asarray(res.x) - xref) / np.linalg.norm(xref) < 1e-6
+
+
+def test_aar_step_type_monitor(capfd):
+    """AAR prints the per-iteration [R]/[A] step type under monitoring
+    (reference lib/AAR.py:121-123)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from porotpu.solvers.aar import aar
+
+    rng = np.random.default_rng(0)
+    n = 40
+    Q = rng.normal(size=(n, n))
+    A = Q @ Q.T + n * np.eye(n)
+    b = rng.normal(size=n)
+    Ad = jnp.asarray(A)
+    res = aar(
+        lambda x: Ad @ x, jnp.asarray(b),
+        M=lambda r: r / jnp.diag(Ad),
+        order=5, p=3, rtol=1e-10, atol=1e-12, maxiter=200, monitor=True,
+    )
+    assert bool(res.converged)
+    out = capfd.readouterr().out + capfd.readouterr().err
+    assert "[R]" in out and "[A]" in out

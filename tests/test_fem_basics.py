@@ -244,3 +244,50 @@ def test_mixed_space_layout():
     assert W.num_dofs == ns + nf + npp
     assert W.field("f").offset == ns
     assert W.field("p").slice == slice(ns + nf, ns + nf + npp)
+
+
+def test_cell_load_nodal_equals_mass_apply():
+    """Nodal volume loads (reference lib/Assembler.py:243-259 arbitrary
+    expression forcing): cell_load(f_at_nodes) must equal M @ f exactly,
+    and reduce to the f_const path for constant f."""
+    import numpy as np
+
+    from porotpu.fem import assemble
+    from porotpu.fem.dofmap import FunctionSpace
+    from porotpu.fem.mesh import generate_square
+
+    out = generate_square(6, 1.0)
+    mesh = out[0] if isinstance(out, tuple) else out
+    rng = np.random.default_rng(1)
+    for vector, deg in ((False, 1), (True, 2)):
+        V = FunctionSpace(mesh, deg, vector=vector)
+        f = rng.normal(size=V.num_dofs)
+        b = assemble.cell_load(V, f_at_nodes=f)
+        M = assemble.mass(V)
+        assert np.allclose(b, M @ f, atol=1e-12)
+        if vector:
+            fc = np.tile([1.3, -0.4], V.num_dofs // 2)
+            b1 = assemble.cell_load(V, f_at_nodes=fc)
+            b2 = assemble.cell_load(V, f_const=[1.3, -0.4])
+        else:
+            b1 = assemble.cell_load(V, f_at_nodes=np.full(V.num_dofs, 2.5))
+            b2 = assemble.cell_load(V, f_const=2.5)
+        assert np.allclose(b1, b2, atol=1e-12)
+
+
+def test_expression_volume_loads_assemble():
+    """Expression-valued fs_vol/p_source route through the nodal path and
+    produce finite nonzero loads (previously NotImplementedError)."""
+    import numpy as np
+
+    from porotpu.models import benchmarks
+    from porotpu.models.loads import ExprLoad
+
+    ov = {"pc type": "diagonal", "inner pc type": "lu"}
+    prob = benchmarks.swelling(Nelements=4, overrides=ov)
+    prob.assembler.fs_vol = ExprLoad(
+        lambda t, x: np.stack([np.sin(x[:, 0] * 500) * t, x[:, 1] * 0], axis=1)
+    )
+    prob.assembler.p_source = ExprLoad(lambda t, x: t * x[:, 0] * 100)
+    b = prob.assembler.get_load_vector(0.1)
+    assert np.isfinite(b).all() and np.abs(b).max() > 0

@@ -112,10 +112,23 @@ def test_sharded_solve_on_2d_host_mesh_matches():
     assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-8
 
 
+def _permute_pairs(hlo: str):
+    """All (source, target) pairs of every collective-permute in the HLO."""
+    import re
+
+    pairs = []
+    for m in re.finditer(r"source_target_pairs=\{(\{[^=]*?\})\}", hlo):
+        for s, t in re.findall(r"\{(\d+),(\d+)\}", m.group(1)):
+            pairs.append((int(s), int(t)))
+    return pairs
+
+
 def test_sharded_dia_spmv_2d_host_mesh_gather_free():
     """The banded SpMV must stay gather-free on the ("hosts","chips")
-    mesh: halos lower to collective-permutes whose source-target pairs
-    cross the host axis only at slab boundaries."""
+    mesh, and every collective-permute must be a NEIGHBOR exchange
+    (|source-target| == 1 on the flattened host-major device order) — so
+    the host axis is crossed only at the one slab boundary between
+    devices 3 and 4 (the DCN-minimal layout, SURVEY.md §2.5)."""
     import scipy.sparse as sp
     from porotpu.ops.dia import DIA
 
@@ -132,8 +145,110 @@ def test_sharded_dia_spmv_2d_host_mesh_gather_free():
     hlo = f.lower(Ds, x).compile().as_text()
     assert hlo.count("all-gather") == 0
     assert hlo.count("collective-permute") > 0
+    pairs = _permute_pairs(hlo)
+    assert pairs, "expected parsable source_target_pairs"
+    non_neighbor = [p for p in pairs if abs(p[0] - p[1]) != 1]
+    assert not non_neighbor, f"non-neighbor halo permutes: {non_neighbor}"
+    host_crossing = [p for p in pairs if (p[0] < 4) != (p[1] < 4)]
+    assert all(set(p) == {3, 4} for p in host_crossing)
     y = np.asarray(f(Ds, x))
     assert np.allclose(y, A @ np.asarray(x), atol=1e-10)
+
+
+def test_sharded_dia_halo_is_aggregated():
+    """Round-4 regression: one aggregated boundary-slab exchange per DIA
+    product, NOT one permute per stored diagonal.  A 9-diagonal matvec and
+    rmatvec must each compile to exactly 2 collective-permutes (left +
+    right slab), matching PETSc MatMult's single VecScatter per product
+    (reference lib/AAR.py:135)."""
+    import re
+
+    import scipy.sparse as sp
+    from porotpu.ops.dia import DIA
+
+    n = 1600
+    rng = np.random.default_rng(7)
+    offs = [-83, -42, -40, -1, 0, 1, 40, 42, 81]
+    A = sp.diags([rng.normal(size=n) for _ in offs], offs, shape=(n, n)).tocsr()
+    D = DIA.from_csr(A, dtype=jnp.float64)
+    mesh = solver_mesh(8)
+    Ds = shard_ell(D, mesh)
+    assert Ds.dist is not None and Ds.dist[0] == "halo"
+    x = shard_vector(jnp.asarray(rng.normal(size=n)), mesh)
+    for apply_fn, ref in (
+        (lambda d, v: d.matvec(v), A @ np.asarray(x)),
+        (lambda d, v: d.rmatvec(v), A.T @ np.asarray(x)),
+    ):
+        f = jax.jit(apply_fn)
+        hlo = f.lower(Ds, x).compile().as_text()
+        n_cp = len(re.findall(r"= \S+ collective-permute(?:-start)?\(", hlo))
+        assert n_cp == 2, f"expected 2 aggregated halo permutes, got {n_cp}"
+        assert hlo.count("all-gather") == 0
+        assert np.allclose(np.asarray(f(Ds, x)), ref, atol=1e-10)
+
+
+def test_sharded_aar_solve_matches_single_device():
+    """The AAR solver's distributed Gram least-squares path (solvers/
+    anderson.py:gram_ls_alpha over sharded rows) compiled + executed on
+    the 8-device mesh against the single-device result."""
+    res1, res2, x1, x2 = _sharded_vs_single(
+        {
+            "pc type": "diagonal",
+            "inner pc type": "lu",
+            "solver type": "aar",
+            "solver rtol": 1e-9,
+            "solver atol": 1e-12,
+            "solver maxiter": 300,
+        },
+        N=4,
+    )
+    assert bool(res2.converged)
+    assert np.linalg.norm(x1 - x2) / np.linalg.norm(x1) < 1e-6
+
+
+def test_sharded_mixed_precision_solve():
+    """Mixed precision (f64 outer FGMRES + f32 PC payloads, CastPC) on the
+    8-device mesh: converges to f64 accuracy on the true residual and
+    matches the all-f64 single-device solution."""
+    res1, res2, x1, x2 = _sharded_vs_single(
+        {
+            "pc type": "diagonal",
+            "inner pc type": "hypre",
+            "solver rtol": 1e-8,
+            "solver atol": 1e-12,
+        },
+        N=6,
+    )
+    ov = {
+        "pc type": "diagonal",
+        "inner pc type": "hypre",
+        "solver rtol": 1e-8,
+        "solver atol": 1e-12,
+        "pc dtype": "float32",
+        "pad multiple": 8,
+    }
+    prob = benchmarks.swelling(Nelements=6, overrides=ov)
+    prob.create_solver()
+    prob.first_timestep = False
+    from porotpu.precond.block import CastPC
+
+    assert isinstance(prob.pc, CastPC)
+    t = prob.t0 + prob.parameters["dt"]
+    b = prob.get_rhs(t)
+    mesh = solver_mesh(8)
+    res = prob._jit_solve(
+        shard_operator(prob.A_dev, mesh),
+        shard_operator(prob.pc, mesh),
+        shard_vector(b, mesh),
+        shard_vector(jnp.zeros_like(b), mesh),
+    )
+    assert bool(res.converged)
+    assert res.x.dtype == jnp.float64
+    xm = np.asarray(res.x)[prob.pad_index]
+    assert np.linalg.norm(x1 - xm) / np.linalg.norm(x1) < 1e-7
+    # f64 accuracy certified on the TRUE residual, not the Krylov estimate
+    r = np.asarray(b) - np.asarray(prob.A_dev.matvec(res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-7
 
 
 def test_sharded_real_amg_hierarchy_matches_single_device():
@@ -254,3 +369,35 @@ def test_sharded_dia_spmv_uses_halo_exchange():
     assert hlo.count("collective-permute") > 0, "expected halo exchanges"
     y = np.asarray(f(Ds, x))
     assert np.allclose(y, A @ np.asarray(x), atol=1e-10)
+
+
+def test_embedded_halo_matvec_cross_shard_scatter():
+    """Regression: the embedded (col_emb) halo matvec must DROP coarse
+    dofs owned by other shards — negative traced indices WRAP in jax
+    scatters, which silently corrupted boundary entries (found via a
+    Transposed fluid-pressure coupling block, round 4)."""
+    import scipy.sparse as sp
+    from porotpu.ops.dia import DIA, Transposed
+
+    rng = np.random.default_rng(11)
+    n, nc = 584, 88
+    emb = np.sort(rng.choice(n, size=nc, replace=False)).astype(np.int64)
+    ii = np.arange(n)
+    jj = np.clip(np.searchsorted(emb, ii), 0, nc - 1)
+    M = sp.csr_matrix((rng.normal(size=n), (ii, jj)), shape=(n, nc))
+    M = M + sp.csr_matrix(
+        (rng.normal(size=n - 7), (ii[:-7], np.clip(jj[:-7] + 1, 0, nc - 1))),
+        shape=(n, nc),
+    )
+    D = DIA.from_csr(M, dtype=jnp.float64, col_emb=emb)
+    mesh = solver_mesh(8)
+    Ds = shard_ell(D, mesh)
+    assert Ds.dist[0] == "halo"
+    xc = jnp.asarray(rng.normal(size=nc))
+    y = np.asarray(jax.jit(lambda d, v: d.matvec(v))(Ds, xc))
+    assert np.allclose(y, M @ np.asarray(xc), atol=1e-12)
+    # and through the Transposed wrapper (A^T with A = M^T), as used by
+    # the fluid-pressure Apf coupling block
+    T = Transposed(Ds)
+    z = np.asarray(jax.jit(lambda d, v: d.rmatvec(v))(T, xc))
+    assert np.allclose(z, M @ np.asarray(xc), atol=1e-12)

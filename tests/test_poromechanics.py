@@ -249,3 +249,40 @@ def test_inner_monitor_and_pc_timings(capsys, monkeypatch):
     problem.print_timings()
     out = capsys.readouterr().out
     assert "Timing preconditioner" in out and "Solid solver" in out
+
+
+def test_block_bc_path_matches_monolithic_oracle():
+    """The production per-block BC+pad path (_bc_applied_blocks) must
+    equal re-slicing the monolithic golden-oracle path
+    (_bc_applied_operators) block by block, including padding and the
+    unit diagonal on Dirichlet rows."""
+    import numpy as np
+
+    from porotpu.models import benchmarks
+
+    for builder, ov in (
+        (benchmarks.swelling, {"pc type": "diagonal 3-way", "inner pc type": "lu"}),
+        (benchmarks.footing,
+         {"pc type": "undrained", "inner pc type": "lu", "pad multiple": 8}),
+    ):
+        prob = builder(Nelements=4, overrides=dict(ov))
+        A, P, Pd, (bcd, bcv) = prob._bc_applied_operators()
+        Ab, Pb, Pd2, (bcd2, bcv2) = prob._bc_applied_blocks()
+        assert np.array_equal(bcd, bcd2) and np.array_equal(bcv, bcv2)
+        ns, nf, npp = prob.padded_sizes
+        sl = {"s": slice(0, ns), "f": slice(ns, ns + nf),
+              "p": slice(ns + nf, ns + nf + npp)}
+        for r in ("s", "f", "p"):
+            for c in ("s", "f", "p"):
+                for M, blocks, tag in ((A, Ab, "A"), (P, Pb, "P")):
+                    ref = M[sl[r], sl[c]].tocsr()
+                    ref.eliminate_zeros()
+                    got = blocks.get((r, c))
+                    if got is None:
+                        assert ref.nnz == 0, (tag, r, c)
+                    else:
+                        got = got.tocsr()
+                        got.eliminate_zeros()
+                        assert (ref != got).nnz == 0, (tag, r, c)
+        if Pd is not None:
+            assert (Pd.tocsr() != Pd2.tocsr()).nnz == 0
