@@ -37,46 +37,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_bench(dtype_name, N, strict=True, pc_dtype=None):
-    """One full bench pass at the given dtype; returns the record dict.
+def fetch(x):
+    """Force device completion by fetching a result-dependent scalar.
 
-    strict=True exits the process on a failed convergence guard (the
-    headline datapoint must be valid); strict=False raises instead so a
-    secondary datapoint can be reported as failed without killing the run.
-    pc_dtype: optional lower precision for the preconditioner payloads
-    (mixed-precision operating point, precond/block.py:CastPC) — the
-    outer FGMRES/residual arithmetic and the convergence guard stay at
-    ``dtype_name``.
+    On the axon tunnel backend ``block_until_ready`` returns at ENQUEUE,
+    not completion (measured: a blocked-each 8192^3 matmul "took" 0.14ms
+    = 8 PFLOP/s), so every timing below is terminated by a host fetch of
+    a scalar that depends on the computation.  The tunnel round trip this
+    adds is measured once (``measure_rtt``) and subtracted.
     """
-    if dtype_name in ("float64", "f64", "double"):
-        jax.config.update("jax_enable_x64", True)
-        dtype_name = "float64"
-        dtype = jnp.float64
-    else:
-        dtype = jnp.float32
-    if pc_dtype == dtype_name:
-        pc_dtype = None
+    return float(jnp.ravel(x)[0])
 
+
+def measure_rtt(dtype):
+    one = jnp.ones((8,), dtype=dtype)
+    f = jax.jit(lambda x, s: x * s)
+    scales = [jnp.asarray(1.0 + 0.01 * i, dtype=dtype) for i in range(8)]
+    fetch(f(one, scales[-1]))
+    ts = []
+    for s in scales[:5]:
+        t0 = time.perf_counter()
+        fetch(f(one, s))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def build_problem(
+    dtype_name, dtype, N, pc_dtype, inner_ksp, inner_iters,
+    amg_box, amg_sweeps, amg_over,
+):
+    """Build (or cache-restore) the bench problem at the given precisions."""
     from porotpu.models import benchmarks
     from porotpu.utils import cache
-
-    # inner operating point (tuned on-device, tools/tune_inner.py):
-    # ONE AMG V-cycle applied directly (ksp preonly) per field block per PC
-    # apply — more outer FGMRES iterations than the 10-inner-CG
-    # configuration, but each a fraction of the cost
-    inner_ksp = os.environ.get("BENCH_INNER_KSP", "preonly")
-    inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "1"))
-    # AMG operating point (see precond/inner.py InnerConfig): the library
-    # default is dimension-aware (box3 + 2+2 sweeps in 3D); the bench
-    # workload is a fixed size, so cheaper-per-cycle points can win on
-    # wall time — overridable for on-device tuning
-    amg_box = os.environ.get("BENCH_AMG_BOX")
-    amg_sweeps = os.environ.get("BENCH_AMG_SWEEPS")
-    amg_over = {}
-    if amg_box:
-        amg_over["amg box factor"] = float(amg_box)
-    if amg_sweeps:
-        amg_over["amg presmooth"] = amg_over["amg postsmooth"] = int(amg_sweeps)
 
     t0 = time.perf_counter()
     key = cache.config_key(
@@ -112,15 +104,155 @@ def run_bench(dtype_name, N, strict=True, pc_dtype=None):
         problem.create_solver()
         problem.first_timestep = False
         log(f"setup: {time.perf_counter() - t0:.1f}s, dofs={problem.W.num_dofs}")
+    return problem
+
+
+def _bench_knobs():
+    inner_ksp = os.environ.get("BENCH_INNER_KSP", "preonly")
+    inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "1"))
+    amg_box = os.environ.get("BENCH_AMG_BOX")
+    amg_sweeps = os.environ.get("BENCH_AMG_SWEEPS")
+    amg_over = {}
+    if amg_box:
+        amg_over["amg box factor"] = float(amg_box)
+    if amg_sweeps:
+        amg_over["amg presmooth"] = amg_over["amg postsmooth"] = int(amg_sweeps)
+    return inner_ksp, inner_iters, amg_box, amg_sweeps, amg_over
+
+
+def run_bench_ir(N):
+    """f64-ACCURACY datapoint via f32 solve + f64 iterative refinement.
+
+    The whole loop is ONE jitted while_loop: solve the f32 system for a
+    correction against the current f64 TRUE residual (b - A64 x), add,
+    re-check the field-wise criterion in f64 at the REFERENCE tolerances
+    (atol 1e-8 / rtol 1e-6), repeat (<= 4 passes).  Accuracy is certified
+    by f64 arithmetic on the true residual; speed is f32-class because
+    the Krylov + PC work runs entirely in f32.
+    """
+    jax.config.update("jax_enable_x64", True)
+    from porotpu.solvers.convergence import FieldwiseTest
+
+    inner_ksp, inner_iters, amg_box, amg_sweeps, amg_over = _bench_knobs()
+    p32 = build_problem(
+        "float32", jnp.float32, N, None, inner_ksp, inner_iters,
+        amg_box, amg_sweeps, amg_over,
+    )
+    p64 = build_problem(
+        "float64", jnp.float64, N, "float32", inner_ksp, inner_iters,
+        amg_box, amg_sweeps, amg_over,
+    )
+    t = p64.t0 + p64.parameters["dt"]
+    b64 = p64.get_rhs(t)
+    sizes = p64.padded_sizes
+    atol, rtol = 1e-8, 1e-6
+    solve32 = p32._solve_fn
+    x0_32 = jnp.zeros(b64.shape[0], dtype=jnp.float32)
+
+    def ir(A32, pc32, A64, b64):
+        fw = FieldwiseTest.from_sizes(sizes, b64)
+
+        def cond(c):
+            x, r, ea, er, k, it = c
+            return (ea > atol) & (er > rtol) & (k < 4)
+
+        def body(c):
+            x, r, ea, er, k, it = c
+            res = solve32(A32, pc32, r.astype(jnp.float32), x0_32)
+            x = x + res.x.astype(jnp.float64)
+            r = b64 - A64.matvec(x)
+            ea, er = fw.errors(r)
+            return (x, r, ea, er, k + 1, it + res.iters)
+
+        big = jnp.array(jnp.inf, dtype=jnp.float64)
+        init = (
+            jnp.zeros_like(b64), b64, big, big,
+            jnp.int32(0), jnp.int32(0),
+        )
+        x, r, ea, er, k, it = jax.lax.while_loop(cond, body, init)
+        return x, ea, er, k, it
+
+    jit_ir = jax.jit(ir)
+    rtt = measure_rtt(jnp.float64)
+
+    t0 = time.perf_counter()
+    x, ea, er, k, it = jit_ir(p32.A_dev, p32.pc, p64.A_dev, b64)
+    float(ea)
+    log(
+        f"compile+first IR solve: {time.perf_counter() - t0:.1f}s, "
+        f"passes={int(k)} total f32 iters={int(it)} "
+        f"true-f64 fieldwise abs={float(ea):.3e} rel={float(er):.3e}"
+    )
+    if not (float(ea) <= atol or float(er) <= rtol):
+        raise RuntimeError("IR did not reach the reference f64 tolerance")
+
+    times = []
+    for trial in range(2):
+        bt = b64 * (1.0 + 1e-6 * (trial + 1))
+        jax.block_until_ready(bt)
+        t0 = time.perf_counter()
+        x, ea, er, k, it = jit_ir(p32.A_dev, p32.pc, p64.A_dev, bt)
+        float(ea)
+        times.append(time.perf_counter() - t0 - rtt)
+    solve_s = min(times)
+    log(
+        f"IR solve: {solve_s:.4f}s (passes={int(k)}, f32 iters={int(it)}, "
+        f"true-f64 fieldwise abs={float(ea):.3e} rel={float(er):.3e})"
+    )
+    return {
+        "metric": "swelling3d_step_solve_time",
+        "value": round(solve_s, 5),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SOLVE_S / solve_s, 3),
+        "dtype": "float64-accuracy (f32 solve + f64 iterative refinement)",
+        "passes": int(k),
+        "iters": int(it),
+        "dofs": int(p64.W.num_dofs),
+    }
+
+
+def run_bench(dtype_name, N, strict=True, pc_dtype=None):
+    """One full bench pass at the given dtype; returns the record dict.
+
+    strict=True exits the process on a failed convergence guard (the
+    headline datapoint must be valid); strict=False raises instead so a
+    secondary datapoint can be reported as failed without killing the run.
+    pc_dtype: optional lower precision for the preconditioner payloads
+    (mixed-precision operating point, precond/block.py:CastPC) — the
+    outer FGMRES/residual arithmetic and the convergence guard stay at
+    ``dtype_name``.
+    """
+    if dtype_name in ("float64", "f64", "double"):
+        jax.config.update("jax_enable_x64", True)
+        dtype_name = "float64"
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float32
+    if pc_dtype == dtype_name:
+        pc_dtype = None
+
+    # inner operating point (tuned on-device, tools/tune_inner.py):
+    # ONE AMG V-cycle applied directly (ksp preonly) per field block per PC
+    # apply — more outer FGMRES iterations than the 10-inner-CG
+    # configuration, but each a fraction of the cost; AMG knobs env-tunable
+    inner_ksp, inner_iters, amg_box, amg_sweeps, amg_over = _bench_knobs()
+
+    problem = build_problem(
+        dtype_name, dtype, N, pc_dtype, inner_ksp, inner_iters,
+        amg_box, amg_sweeps, amg_over,
+    )
 
     t = problem.t0 + problem.parameters["dt"]
     b = problem.get_rhs(t)
     x0 = jnp.zeros_like(b)
 
+    rtt = measure_rtt(dtype)
+    log(f"tunnel round trip: {rtt * 1e3:.1f}ms")
+
     # warmup / compile
     t0 = time.perf_counter()
     res = problem._jit_solve(problem.A_dev, problem.pc, b, x0)
-    res.x.block_until_ready()
+    float(res.res)  # fetch: forces completion (see fetch())
     log(
         f"compile+first solve [{dtype_name}]: {time.perf_counter() - t0:.1f}s, "
         f"iters={int(res.iters)} converged={bool(res.converged)} "
@@ -130,19 +262,21 @@ def run_bench(dtype_name, N, strict=True, pc_dtype=None):
     # timed solves — each repetition uses a *distinct* RHS (tiny relative
     # perturbations, same convergence behavior) so any result-dedup cache
     # in the device transport cannot return a stale answer without running
-    # the computation
-    bs = [b * (1.0 + 1e-6 * (i + 1)) for i in range(3)]
-    for bi in bs:
-        bi.block_until_ready()
+    # the computation; completion is forced by fetching the residual
+    # scalar of the LAST solve (in-order device stream), and the single
+    # tunnel round trip is subtracted
     times = []
-    for bi in bs:
+    for trial in range(2):
+        bs = [b * (1.0 + 1e-6 * (3 * trial + i + 1)) for i in range(3)]
+        jax.block_until_ready(bs)
         t0 = time.perf_counter()
-        res = problem._jit_solve(problem.A_dev, problem.pc, bi, x0)
-        res.x.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        for bi in bs:
+            res = problem._jit_solve(problem.A_dev, problem.pc, bi, x0)
+        float(res.res)
+        times.append((time.perf_counter() - t0 - rtt) / 3)
     solve_s = min(times)
     iters = int(res.iters)
-    log("per-rep solve times: " + ", ".join(f"{t:.4f}s" for t in times))
+    log("per-trial mean solve times: " + ", ".join(f"{t:.4f}s" for t in times))
 
     # correctness guard: recompute the solver's own convergence measure
     # (field-wise inf-norm test, reference lib/Solver.py:8-51) from the
@@ -160,17 +294,18 @@ def run_bench(dtype_name, N, strict=True, pc_dtype=None):
             sys.exit(1)
         raise RuntimeError("secondary bench datapoint failed its convergence guard")
 
-    # SpMV throughput on the block operator
+    # SpMV throughput on the block operator (chained: rep i+1 consumes
+    # rep i's output, so the transport cannot dedup; one terminal fetch)
     A = problem.A_dev
     spmv = jax.jit(lambda a, x: a.matvec(x))
     y = spmv(A, b)
-    y.block_until_ready()
+    fetch(y)
     reps = 50
     t0 = time.perf_counter()
     for _ in range(reps):
         y = spmv(A, y)
-    y.block_until_ready()
-    spmv_s = (time.perf_counter() - t0) / reps
+    fetch(y)
+    spmv_s = (time.perf_counter() - t0 - rtt) / reps
     nnz_padded = sum(int(e.nnz_padded) for e in A.blocks.values())
 
     # HBM roofline: measure the chip's streaming peak with a same-dtype
@@ -185,12 +320,12 @@ def run_bench(dtype_name, N, strict=True, pc_dtype=None):
     ya = jnp.ones((nt,), dtype=dtype)
     triad = jax.jit(lambda x, y: 1.0001 * x + y)
     z = triad(xa, ya)
-    z.block_until_ready()
+    fetch(z)
     t0 = time.perf_counter()
     for _ in range(10):
         z = triad(xa, z)
-    z.block_until_ready()
-    triad_s = (time.perf_counter() - t0) / 10
+    fetch(z)
+    triad_s = (time.perf_counter() - t0 - rtt) / 10
     peak_gbs = 3 * nt * itemsize / triad_s / 1e9
     nvec = int(b.shape[0])
     spmv_gbs = (nnz_padded + 2 * nvec) * itemsize / spmv_s / 1e9
@@ -250,6 +385,12 @@ def main():
             log("f64 datapoint: " + json.dumps(rec))
         except Exception as e:  # noqa: BLE001 — secondary point must not kill the bench
             log(f"f64 datapoint: FAILED ({type(e).__name__}: {e})")
+        if os.environ.get("BENCH_IR", "1") != "0":
+            try:
+                rec = run_bench_ir(f64_n)
+                log("f64-ir datapoint: " + json.dumps(rec))
+            except Exception as e:  # noqa: BLE001
+                log(f"f64-ir datapoint: FAILED ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

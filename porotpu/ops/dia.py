@@ -65,9 +65,12 @@ from jax.sharding import PartitionSpec as P
 # - UNROLL_LOCAL applies when slices are provably local (single-device,
 #   replicated, or inside the shard_map halo path): above it the sweep
 #   runs as a lax.scan over CHUNK-diagonal chunks, shrinking the HLO by
-#   ~nd/CHUNK and with it XLA compile time.
+#   ~nd/CHUNK and with it XLA compile time.  Default = CHUNK: the scan
+#   path is MEASURED FASTER than the fully-unrolled sweep on the real
+#   chip at every production shape tried (204 vs 142 GB/s at nd=233 f32,
+#   116 vs 71 at nd=48 — PERF.md), on top of the compile-time win.
 UNROLL_MAX = int(os.environ.get("PORO_DIA_UNROLL", "384"))
-UNROLL_LOCAL = int(os.environ.get("PORO_DIA_UNROLL_LOCAL", "48"))
+UNROLL_LOCAL = int(os.environ.get("PORO_DIA_UNROLL_LOCAL", "16"))
 CHUNK = int(os.environ.get("PORO_DIA_CHUNK", "16"))
 
 
