@@ -70,11 +70,15 @@ def build_problem(
     from porotpu.models import benchmarks
     from porotpu.utils import cache
 
+    # 128-aligned padded layout: makes every field block and level-0 AMG
+    # operator eligible for the Pallas banded-matvec kernel
+    # (ops/pallas_dia.py); <1% extra rows at bench sizes
+    pad = int(os.environ.get("BENCH_PAD", "128"))
     t0 = time.perf_counter()
     key = cache.config_key(
         bench="swelling3d", N=N, schema=5, ksp=inner_ksp, ii=inner_iters,
         box=amg_box or "auto", sw=amg_sweeps or "auto", dt=dtype_name,
-        pcdt=pc_dtype or dtype_name,
+        pcdt=pc_dtype or dtype_name, pad=pad,
     )
     cpath = f".cache/bench_{key}.pkl"
     problem = benchmarks.swelling_3d(
@@ -93,6 +97,7 @@ def build_problem(
             # zero), so the history operators contribute nothing: skip
             # building/uploading them
             "rhs mode": "loads-only",
+            "pad multiple": pad,
             "dtype": dtype_name,
             **({"pc dtype": pc_dtype} if pc_dtype else {}),
         },

@@ -402,6 +402,25 @@ class DIA:
 
     # -- products -------------------------------------------------------
 
+    def _pallas_eligible(self, x) -> bool:
+        """Kernel fast path: real TPU, shard-local, 128-aligned rows, f32.
+
+        The driver/bench padded layout ("pad multiple") makes the
+        production field blocks and level-0 AMG operators 128-aligned;
+        everything else (CPU tests, sharded gspmd/halo, deeper AMG
+        levels, f64 operands) takes the XLA sweep.
+        """
+        from . import pallas_dia
+
+        return (
+            (self.dist is None or self.dist[0] == "repl")
+            and self.nrows % 128 == 0
+            and self.ne == self.nrows
+            and self.data.dtype == jnp.float32
+            and x.dtype == jnp.float32
+            and pallas_dia.enabled()
+        )
+
     def matvec(self, x: jax.Array) -> jax.Array:
         if self.dist is not None and self.dist[0] == "halo":
             return self._halo_matvec(x)
@@ -410,6 +429,10 @@ class DIA:
             xe = jnp.zeros(ne, dtype=x.dtype).at[self.col_emb].set(x)
         else:
             xe = x
+        if self._pallas_eligible(x):
+            from . import pallas_dia
+
+            return pallas_dia.mv(self.data, self.offsets, xe, self.nrows)
         xpad = jnp.pad(xe, (lo, hi))
         return _mv_sweep(
             self.data, self.offsets, xpad, lo, self.nrows, self._unroll_limit()

@@ -147,3 +147,38 @@ def test_vertex_embedding_blocks():
     assert len(np.unique(emb)) == emb.size  # injective incl. pad slots
     assert emb.size == Qp.num_dofs + 3
     assert emb.max() < Vs.num_dofs + 6
+
+
+def test_pallas_mv_kernel_interpret():
+    """The Pallas banded-matvec kernel (ops/pallas_dia.py) against scipy,
+    in interpreter mode (runs on CPU): aligned + partial final tile,
+    embedded-x zero regions, and offsets spanning multiple 128-lane rows."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from porotpu.ops import pallas_dia
+    from porotpu.ops.dia import DIA
+
+    if not pallas_dia.HAVE_PALLAS:
+        import pytest
+
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(3)
+    for n, offs in (
+        (1024, [-300, -129, -128, -1, 0, 1, 127, 128, 301]),
+        (2048 + 1024, [-520, -42, 0, 5, 130, 515]),  # R=24: partial tiles
+    ):
+        A = sp.diags(
+            [rng.normal(size=n) for _ in offs], offs, shape=(n, n)
+        ).tocsr()
+        D = DIA.from_csr(A, dtype=jnp.float32)
+        x = rng.normal(size=n).astype(np.float32)
+        y = np.asarray(
+            pallas_dia.mv(
+                D.data, D.offsets, jnp.asarray(x), n, interpret=True
+            )
+        )
+        ref = A @ x
+        assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())

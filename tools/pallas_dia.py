@@ -68,13 +68,20 @@ def build_kernel(offsets, dtype):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * T, T)
         w = x_ref[pl.ds(row0, W), :]  # this tile's window (W, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
         acc = jnp.zeros((T, LANES), dtype=dtype)
         for r, ds_ in groups.items():
             if r == 0:
                 xr = w
             else:
                 # lane rotation by r with row carry: xr[m,l] = wflat[128m+l+r]
-                xr = jnp.concatenate([w[:-1, r:], w[1:, :r]], axis=1)
+                # = w[m, l+r] for l < 128-r, else w[m+1, l+r-128].
+                # (a concatenate of row-offset slices trips Mosaic's
+                # "offset mismatch on non-concat dimension"; roll + select
+                # lowers cleanly)
+                wl = pltpu.roll(w, LANES - r, axis=1)  # w[m,(l+r)%128]
+                wup = pltpu.roll(wl, W - 1, axis=0)  # row m+1 (last row junk)
+                xr = jnp.where(lane < LANES - r, wl, wup)
             for d, q in ds_:
                 acc = acc + data_ref[d] * xr[q : q + T, :]
         y_ref[:] = acc
@@ -133,7 +140,7 @@ def delta_time(make_chain, init, trials=3, R1=3, R2=23):
 
 
 def main():
-    n = 98304  # 768 * 128
+    n = int(os.environ.get("N_ELEMS", "98304"))  # multiple of 128*T
     nd = int(os.environ.get("ND", "233"))
     dtype = jnp.float32
     half = nd // 2
