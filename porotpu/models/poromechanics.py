@@ -684,7 +684,7 @@ class Poromechanics(AbstractPhysics):
     def save_solver_cache(self, path: str):
         from ..utils import cache
 
-        cache.save(path, self.solver_state())
+        cache.save_async(path, self.solver_state())
 
     def try_load_solver_cache(self, path: str) -> bool:
         """Restore device operators from a cache file, skipping all host

@@ -93,8 +93,10 @@ def _kernel_call(offsets, nd, R, dtype_name, interpret):
                 xr = w
             else:
                 # lane rotation by r with row carry: xr[m,l] = wflat[128m+l+r]
-                wl = pltpu.roll(w, LANES - r, axis=1)
-                wup = pltpu.roll(wl, W - 1, axis=0)
+                # shifts must be i32 even under jax_enable_x64 (Mosaic's
+                # tpu.dynamic_rotate rejects i64 operands)
+                wl = pltpu.roll(w, jnp.int32(LANES - r), axis=1)
+                wup = pltpu.roll(wl, jnp.int32(W - 1), axis=0)
                 xr = jnp.where(lane < LANES - r, wl, wup)
             for d, q in ds_:
                 acc = acc + data_ref[d] * xr[q : q + T, :]
@@ -107,12 +109,18 @@ def _kernel_call(offsets, nd, R, dtype_name, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (nd, T, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (nd, T, LANES),
+                # zeros derived from the (i32) grid index: plain 0 lowers
+                # to i64 under jax_enable_x64 and Mosaic rejects the
+                # mixed-width index function; captured jnp constants are
+                # rejected outright
+                lambda i: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x, resident
         ],
         out_specs=pl.BlockSpec(
-            (T, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (T, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM
         ),
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
@@ -141,4 +149,10 @@ def mv(data, offsets, xe, nrows, interpret=False):
     pad_hi = (hi_rows + T) * LANES
     xpad = jnp.pad(xe, (lo_rows * LANES, pad_hi)).reshape(-1, LANES)
     data2 = data.reshape(nd, R, LANES)
-    return call(data2, xpad).reshape(-1)
+    # trace the kernel with x64 OFF even inside an x64 outer program
+    # (mixed-precision solves): under x64 the grid-index avals and
+    # index-map literals lower to i64, which Mosaic rejects; the f32
+    # operands are unaffected by the context
+    with jax.enable_x64(False):
+        y = call(data2, xpad)
+    return y.reshape(-1)

@@ -52,6 +52,37 @@ def save(path: str, tree):
     os.replace(tmp, path)
 
 
+def save_async(path: str, tree):
+    """Snapshot to host immediately, write the pickle in the background.
+
+    The host copy (to_host) happens on the calling thread so later device
+    mutation cannot race; the multi-second disk write of the ~GB state is
+    moved off the setup critical path.  The tmp+rename protocol keeps the
+    cache atomic: an interrupted write leaves the previous cache (or
+    nothing) in place, never a corrupt file — and load() tolerates
+    corruption anyway.  The writer joins at interpreter exit.
+    """
+    import atexit
+    import threading
+
+    host_tree = to_host(tree)
+
+    def _write():
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump({"schema": SCHEMA, "tree": host_tree}, fh, protocol=4)
+            os.replace(tmp, path)
+        except Exception:  # a failed cache write must never break the run
+            pass
+
+    t = threading.Thread(target=_write, name="porotpu-cache-save", daemon=False)
+    t.start()
+    atexit.register(t.join)
+    return t
+
+
 def load(path: str):
     """Load a cached pytree; returns None on miss, schema mismatch, or ANY
     corruption — a cache can only ever cause a rebuild, never a crash."""
