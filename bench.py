@@ -79,6 +79,7 @@ def build_problem(
         bench="swelling3d", N=N, schema=5, ksp=inner_ksp, ii=inner_iters,
         box=amg_box or "auto", sw=amg_sweeps or "auto", dt=dtype_name,
         pcdt=pc_dtype or dtype_name, pad=pad,
+        pdrop=amg_over.get("amg p drop", 0.0),
     )
     cpath = f".cache/bench_{key}.pkl"
     problem = benchmarks.swelling_3d(
@@ -117,11 +118,17 @@ def _bench_knobs():
     inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "1"))
     amg_box = os.environ.get("BENCH_AMG_BOX")
     amg_sweeps = os.environ.get("BENCH_AMG_SWEEPS")
+    # band-wise interpolation truncation (precond/amg.py): 0.05 measured
+    # iteration-neutral while dropping ~43% of the smoothed P's stored
+    # diagonals — the dominant V-cycle traffic (PERF.md)
+    amg_pdrop = os.environ.get("BENCH_AMG_PDROP", "0.05")
     amg_over = {}
     if amg_box:
         amg_over["amg box factor"] = float(amg_box)
     if amg_sweeps:
         amg_over["amg presmooth"] = amg_over["amg postsmooth"] = int(amg_sweeps)
+    if float(amg_pdrop) > 0:
+        amg_over["amg p drop"] = float(amg_pdrop)
     return inner_ksp, inner_iters, amg_box, amg_sweeps, amg_over
 
 

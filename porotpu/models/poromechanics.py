@@ -345,6 +345,7 @@ class Poromechanics(AbstractPhysics):
             ("amg box factor", "amg_box_factor", float),
             ("amg smooth degree", "amg_smooth_degree", int),
             ("amg cheb lower", "amg_cheb_lower", float),
+            ("amg p drop", "amg_p_drop", float),
         ):
             v = p.get(key)
             if v is not None:

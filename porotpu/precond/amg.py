@@ -225,6 +225,31 @@ def _tentative_prolongator(dof_agg: np.ndarray, B: np.ndarray):
     return T, Bc, emb, node_of
 
 
+def _drop_weak_p_diagonals(P: sp.csr_matrix, emb: np.ndarray, tol: float):
+    """DIA-aware interpolation truncation: drop whole weak BANDS of the
+    smoothed prolongator.
+
+    The device format is banded (DIA under the coarse-column embedding,
+    ops/dia.py), so the P cost scales with its DIAGONAL count, not nnz —
+    in 3D the degree-1-smoothed P carries ~950 stored diagonals of which
+    most are smoothing fringe with tiny amplitude (PERF.md).  A band d is
+    dropped when max|P| over the band < tol * max|P| globally.  Row-wise
+    (hypre-style) truncation does NOT help here: every diagonal keeps
+    some row where it is locally significant, so the band count survives.
+    No rescaling: the kept bands carry the dominant interpolation weights
+    and rescaling measurably degrades the V-cycle (tested)."""
+    coo = P.tocoo()
+    off = emb[coo.col].astype(np.int64) - coo.row
+    uniq, inv = np.unique(off, return_inverse=True)
+    dmax = np.zeros(uniq.size)
+    np.maximum.at(dmax, inv, np.abs(coo.data))
+    keep_diag = dmax >= tol * dmax.max()
+    keep = keep_diag[inv]
+    return sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=P.shape
+    )
+
+
 def _power_lmax(A: sp.csr_matrix, dinv: np.ndarray, iters=15, seed=0) -> float:
     rng = np.random.default_rng(seed)
     v = rng.normal(size=A.shape[0])
@@ -345,6 +370,7 @@ def amg_setup(
     box_factor: float | None = None,
     smooth_degree: int = 1,
     cheb_lower: float = 4.0,
+    p_drop_tol: float = 0.0,
     dtype=jnp.float32,
 ) -> AMG:
     """Build a smoothed-aggregation AMG hierarchy for SPD-ish A.
@@ -438,6 +464,8 @@ def amg_setup(
         P = T
         for _ in range(max(smooth_degree, 0)):
             P = (P - (4.0 / (3.0 * lmax)) * (Dinv @ (A @ P))).tocsr()
+        if p_drop_tol > 0.0:
+            P = _drop_weak_p_diagonals(P, emb, p_drop_tol)
         Ac = (P.T.tocsr() @ (A @ P)).tocsr()
         levels.append(
             AMGLevel(

@@ -55,6 +55,9 @@ class InnerConfig:
     amg_box_factor: float | None = None
     amg_smooth_degree: int = 1  # prolongator smoothing degree
     amg_cheb_lower: float = 4.0  # smoother interval [lmax/this, 1.1 lmax]
+    # interpolation truncation (hypre analogue): relative row-max drop
+    # tolerance applied to the smoothed prolongator; 0 = off
+    amg_p_drop: float = 0.0
     # dense-LU size cap: above this, "lu" falls back to tight CG+AMG.
     # 40 V-cycle-preconditioned CG iterations reduce the error by ~1e-12
     # at the measured AMG contraction (rho <= 0.35) — "exact" for every
@@ -335,6 +338,7 @@ def build_inner_solver(
             box_factor=cfg.amg_box_factor,
             smooth_degree=cfg.amg_smooth_degree,
             cheb_lower=cfg.amg_cheb_lower,
+            p_drop_tol=cfg.amg_p_drop,
             dtype=dtype,
         )
         # reuse the hierarchy's fine-level operator instead of a second
