@@ -117,3 +117,44 @@ def test_schur_fieldsplit_solves_stokes_like():
     # with exact inner solves and exact selfp (diagonal-dominant Aff) the
     # preconditioner is strong: few iterations
     assert int(res.iters) < 25
+
+
+def test_prolongator_band_truncation():
+    """Band-wise interpolation truncation (precond/amg.py:
+    _drop_weak_p_diagonals): weak bands vanish, strong bands survive
+    untouched, and the V-cycle still contracts."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from porotpu.precond.amg import _drop_weak_p_diagonals
+
+    rng = np.random.default_rng(0)
+    n, nc = 200, 50
+    emb = np.arange(0, n, 4)[:nc]
+    ii = np.arange(n)
+    jj = np.clip(ii // 4, 0, nc - 1)
+    P = sp.csr_matrix((np.ones(n), (ii, jj)), shape=(n, nc))
+    # add a weak fringe band (1e-3) and a strong secondary band (0.5)
+    P = P + sp.csr_matrix(
+        (np.full(n - 8, 0.5), (ii[:-8], np.clip(jj[:-8] + 1, 0, nc - 1))),
+        shape=(n, nc),
+    )
+    P = P + sp.csr_matrix(
+        (np.full(n - 16, 1e-3), (ii[:-16], np.clip(jj[:-16] + 2, 0, nc - 1))),
+        shape=(n, nc),
+    )
+    def bands(M):
+        coo = M.tocoo()
+        return np.unique(emb[coo.col].astype(np.int64) - coo.row)
+
+    nb0 = bands(P).size
+    Pt = _drop_weak_p_diagonals(P, emb, 0.05)
+    assert bands(Pt).size < nb0
+    # strong entries unchanged (no rescaling)
+    d0 = P.tocoo()
+    keep = np.abs(d0.data) >= 0.4
+    Ptd = Pt.todok()
+    for r, c, v in zip(d0.row[keep], d0.col[keep], d0.data[keep]):
+        assert abs(Ptd[r, c] - v) < 1e-14
+    # and the weak band is gone
+    assert np.abs(Pt.data).min() >= 0.4
