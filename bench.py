@@ -21,6 +21,7 @@ as `f64 datapoint: {...}` — disable with BENCH_F64=0.
 Extra diagnostics (SpMV nnz/s, iterations, dof count) go to stderr.
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -367,6 +368,15 @@ def main():
     N = int(os.environ.get("BENCH_N", "13"))
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
 
+    # the ONE-json-line stdout contract: the library's rank-0 banner
+    # prints (problem dofs, solver-created lines) go to stderr with the
+    # rest of the diagnostics; only the headline JSON touches real stdout
+    real_stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        _main_body(dtype_name, N, real_stdout)
+
+
+def _main_body(dtype_name, N, real_stdout):
     headline = run_bench(dtype_name, N, strict=True)
 
     # print + flush the validated headline BEFORE any secondary pass: an
@@ -381,6 +391,7 @@ def main():
                 "vs_baseline": headline["vs_baseline"],
             }
         ),
+        file=real_stdout,
         flush=True,
     )
 
