@@ -160,9 +160,11 @@ def run_bench_ir(N):
     sizes = p64.padded_sizes
     atol, rtol = 1e-8, 1e-6
     solve32 = p32._solve_fn
-    x0_32 = jnp.zeros(b64.shape[0], dtype=jnp.float32)
 
     def ir(A32, pc32, A64, b64):
+        # built inside the traced function: closing over a device array
+        # would trigger XLA constant folding over it (CLAUDE.md invariant)
+        x0_32 = jnp.zeros(b64.shape[0], dtype=jnp.float32)
         fw = FieldwiseTest.from_sizes(sizes, b64)
 
         def cond(c):

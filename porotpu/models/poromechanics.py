@@ -278,6 +278,12 @@ class Poromechanics(AbstractPhysics):
         }
 
         def bc_pad(blocks):
+            # all diagonal field blocks must exist: zero_rows/_pad_field_square
+            # install the Dirichlet unit diagonal and identity pad rows there,
+            # and a silently-absent (k, k) block would yield a singular
+            # padded operator
+            missing = [k for k in order if (k, k) not in blocks]
+            assert not missing, f"missing diagonal blocks: {missing}"
             out = {}
             for (r, c), M in blocks.items():
                 M = zero_rows(M.tocsr(), bc_loc[r], unit_diag=(r == c))
@@ -429,12 +435,20 @@ class Poromechanics(AbstractPhysics):
 
     @staticmethod
     def _resolve_dtype(name, default):
-        if name is None or hasattr(name, "dtype"):
+        if name is None:
             return default
-        return {
+        names = {
             "float64": jnp.float64, "f64": jnp.float64, "double": jnp.float64,
             "float32": jnp.float32, "f32": jnp.float32, "single": jnp.float32,
-        }[str(name)]
+        }
+        if isinstance(name, str):
+            if name not in names:
+                raise ValueError(
+                    f"unrecognized dtype {name!r}; accepted: {sorted(names)}"
+                )
+            return names[name]
+        # dtype-like values (np.dtype, jnp.float32, ...) pass through
+        return jnp.dtype(name).type
 
     def _build_operators(self):
         W = self.W

@@ -403,12 +403,14 @@ class DIA:
     # -- products -------------------------------------------------------
 
     def _pallas_eligible(self, x) -> bool:
-        """Kernel fast path: real TPU, shard-local, 128-aligned rows, f32.
+        """Kernel fast path (matvec AND rmatvec): real TPU, shard-local,
+        128-aligned rows, f32.
 
         The driver/bench padded layout ("pad multiple") makes the
-        production field blocks and level-0 AMG operators 128-aligned;
-        everything else (CPU tests, sharded gspmd/halo, deeper AMG
-        levels, f64 operands) takes the XLA sweep.
+        production field blocks and level-0 AMG operators 128-aligned,
+        and precond/amg.py row-pads the coarse levels to 128 so they
+        qualify too; everything else (CPU tests, sharded gspmd/halo,
+        f64 operands) takes the XLA sweep.
         """
         from . import pallas_dia
 
@@ -451,6 +453,13 @@ class DIA:
         """
         if self.dist is not None and self.dist[0] == "halo":
             return self._halo_rmatvec(x)
+        if self._pallas_eligible(x):
+            from . import pallas_dia
+
+            y = pallas_dia.rmv(self.data, self.offsets, x, self.nrows)
+            if self.col_emb is not None:
+                return y[self.col_emb]
+            return y[: self.ncols]
         lo, hi, ne = self._pads()
         # pad x and data ONCE, then read a shifted window per diagonal
         # (the pad-once / slice-many structure GSPMD lowers to neighbor

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the banded (DIA) matvec — the hot-op fast path.
+"""Pallas TPU kernels for the banded (DIA) matvec and transpose matvec.
 
 y[i] = sum_d data[d, i] * xe_pad[i + off_d] at HBM streaming speed:
 measured 831 GB/s f32 at the production 3D shape with the diagonal data
@@ -18,12 +18,27 @@ Design (tools/pallas_dia.py prototype, kept as the measurement harness):
   Pallas' masked stores, and the x window is over-padded by one tile so
   its dynamic slice never clamps.
 
-Used by DIA.matvec (ops/dia.py) when: running on a real TPU backend,
-single-device (dist is None), nrows % 128 == 0 (the driver/bench padded
-layout guarantees this via "pad multiple"), f32 data, and the diagonal
-count is worth a kernel launch.  Everything else falls back to the XLA
-sweep — including all CPU test runs (the kernel itself is unit-tested on
-CPU in interpreter mode, tests/test_dia.py).
+The transpose kernel (``rmv``): y[j] = sum_d data[d, j-o_d] * x[j-o_d],
+i.e. y = sum_d shift(data[d] * x, o_d) — the restriction /
+Transposed-coupling-block product (AMG P^T r, pressure divergence rows)
+that previously rode the XLA ``_rmv_sweep`` inside the PC apply (~90%
+of solve time — VERDICT r4).  Matches PETSc MatMultTranspose running at
+memory speed (reference lib/AAR.py:135).  Design: every data/x read
+stays tile-ALIGNED (p_d = data[d] * x, so the big stream needs no
+shifted windows); the shift o = 128*q + r decomposes into a free
+sublane row offset (accumulate p_d into row slot q of a (W, 128)
+group accumulator) plus ONE lane-rotation per distinct residue r of
+the group accumulator; contributions crossing the row-tile boundary
+(up to ML rows left, MH rows right) are emitted as small per-tile edge
+outputs that XLA adds back shifted — the tile-local analogue of a halo
+scatter.
+
+Used by DIA.matvec / DIA.rmatvec (ops/dia.py) when: running on a real
+TPU backend, single-device (dist is None), nrows % 128 == 0 (the
+driver/bench padded layout guarantees this via "pad multiple"; AMG
+coarse levels are row-padded in precond/amg.py), f32 data.  Everything
+else falls back to the XLA sweep — including all CPU test runs (the
+kernels are unit-tested on CPU in interpreter mode, tests/test_dia.py).
 """
 
 from __future__ import annotations
@@ -156,3 +171,137 @@ def mv(data, offsets, xe, nrows, interpret=False):
     with jax.enable_x64(False):
         y = call(data2, xpad)
     return y.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# transpose kernel (rmv): y = sum_d shift(data[d] * x, off_d)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _rkernel_call(offsets, nd, R, dtype_name, interpret):
+    """Build (and cache) the transpose-sweep pallas_call.
+
+    Offsets decompose as o = 128*q + r with r in [0, 128); contributions
+    of an input row-tile land in output rows [tile - ML, tile + T + MH):
+    ML/MH row slabs cross the tile boundary and are returned as a
+    separate per-tile edge output (combined by the ``rmv`` wrapper).
+    """
+    dtype = jnp.dtype(dtype_name)
+    qr = [divmod(o, LANES) for o in offsets]  # r in [0, 128) for any sign
+    ML = max(0, -min(q for q, _ in qr))
+    MH = max(0, max(q for q, _ in qr)) + 1  # +1 row for the lane carry
+    T = _tile_rows(nd, dtype.itemsize)
+    W = T + ML + MH
+    groups = {}
+    for d, (q, r) in enumerate(qr):
+        groups.setdefault(r, []).append((d, q + ML))  # slot = q + ML
+
+    def kernel(data_ref, x_ref, ymain_ref, yedge_ref):
+        i = pl.program_id(0)
+        # mask garbage rows of the final partial tile: the data/x blocks
+        # beyond row R are uninitialized VMEM, and their products would
+        # leak into VALID output rows through the backward (ML) shifts
+        rowmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0) + i * T < R
+        )
+        xt = x_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
+        acc = jnp.zeros((W, LANES), dtype=dtype)
+        for r, members in groups.items():
+            accP = jnp.zeros((W, LANES), dtype=dtype)
+            for d, slot in members:
+                p = jnp.where(rowmask, data_ref[d] * xt, 0)
+                accP = jax.lax.dynamic_update_slice(
+                    accP,
+                    jax.lax.dynamic_slice(accP, (slot, 0), (T, LANES)) + p,
+                    (slot, 0),
+                )
+            if r == 0:
+                acc = acc + accP
+            else:
+                # shift flat indices forward by r: lane l -> (l + r) % 128
+                # with the wrapped lanes carrying into the NEXT row.  The
+                # row-roll is circular, but accP's last row is provably
+                # zero (slot_max + T - 1 == W - 2), so nothing wraps.
+                b1 = pltpu.roll(accP, jnp.int32(r), axis=1)
+                bd = pltpu.roll(b1, jnp.int32(1), axis=0)
+                acc = acc + jnp.where(lane >= r, b1, bd)
+        ymain_ref[:] = acc[ML : ML + T]
+        yedge_ref[0] = jnp.concatenate([acc[:ML], acc[ML + T :]], axis=0)
+
+    ntiles = pl.cdiv(R, T)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), dtype),
+            jax.ShapeDtypeStruct((ntiles, ML + MH, LANES), dtype),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (nd, T, LANES),
+                lambda i: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((T, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((T, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ML + MH, LANES),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
+            if not interpret
+            else None
+        ),
+        interpret=interpret,
+    )
+    return call, ML, MH, T, ntiles
+
+
+def rmv(data, offsets, x, nrows, interpret=False):
+    """Banded transpose matvec via the Pallas kernel.
+
+    data: (nd, nrows) with nrows % 128 == 0; offsets: static tuple;
+    x: (nrows,).  Returns y (nrows,) over the EMBEDDED column space
+    (ne == nrows; the caller gathers col_emb / truncates to ncols).
+    """
+    nd = data.shape[0]
+    R = nrows // LANES
+    call, ML, MH, T, ntiles = _rkernel_call(
+        tuple(offsets), nd, R, str(data.dtype), interpret
+    )
+    data2 = data.reshape(nd, R, LANES)
+    x2 = x.reshape(R, LANES)
+    with jax.enable_x64(False):
+        ymain, yedge = call(data2, x2)
+    # combine the boundary-crossing slabs (tile i's left slab lands in
+    # tile i-1's last ML rows; its right slab in tile i+1's first MH rows)
+    if ntiles == 1:
+        # single tile: edge slabs target rows outside [0, R) — provably
+        # zero (no matrix entry maps there) — discard
+        return ymain.reshape(-1)[: nrows]
+    if ML <= T and MH <= T:
+        yt = jnp.pad(ymain, ((0, ntiles * T - R), (0, 0))).reshape(
+            ntiles, T, LANES
+        )
+        if ML:
+            yt = yt.at[:-1, T - ML :, :].add(yedge[1:, :ML])
+        yt = yt.at[1:, :MH, :].add(yedge[:-1, ML:])
+        return yt.reshape(-1, LANES)[:R].reshape(-1)
+    # wide-band fallback (slab spans > 1 tile): scatter-add the slabs
+    total = ntiles * T
+    ybig = jnp.zeros((total + ML + MH, LANES), dtype=ymain.dtype)
+    ybig = ybig.at[ML : ML + R].set(ymain)
+    tstart = jnp.arange(ntiles) * T
+    if ML:
+        il = (tstart[:, None] + jnp.arange(ML)[None, :]).reshape(-1)
+        ybig = ybig.at[il].add(yedge[:, :ML].reshape(-1, LANES))
+    ir = (tstart[:, None] + (T + ML) + jnp.arange(MH)[None, :]).reshape(-1)
+    ybig = ybig.at[ir].add(yedge[:, ML:].reshape(-1, LANES))
+    return ybig[ML : ML + R].reshape(-1)

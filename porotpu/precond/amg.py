@@ -347,8 +347,20 @@ class AMG:
         x = self._smooth(lvl, b, jnp.zeros_like(b), self.presmooth, x_is_zero=True)
         r = b - lvl.A.matvec(x)
         bc = lvl.P.rmatvec(r)  # restriction = P^T r
+        # coarse levels are row-padded to 128 on device (identity pad rows,
+        # amg_setup) so their operators qualify for the Pallas DIA kernels;
+        # the coarse vector is zero-padded on the way down and truncated on
+        # the way up — pad dofs are decoupled, so they stay exactly zero
+        nc = lvl.P.shape[1]
+        nxt = (
+            self.levels[li + 1].A.shape[0]
+            if li + 1 < len(self.levels)
+            else self.coarse_inv.shape[0]
+        )
+        if nxt > nc:
+            bc = jnp.pad(bc, (0, nxt - nc))
         xc = self._cycle(li + 1, bc)
-        x = x + lvl.P.matvec(xc)
+        x = x + lvl.P.matvec(xc[:nc])
         x = self._smooth(lvl, b, x, self.postsmooth)
         return x
 
@@ -467,11 +479,26 @@ def amg_setup(
         if p_drop_tol > 0.0:
             P = _drop_weak_p_diagonals(P, emb, p_drop_tol)
         Ac = (P.T.tocsr() @ (A @ P)).tocsr()
+        # Device-side row padding to 128 for coarse levels (li >= 1): unit
+        # diagonal on the pad rows of A, zero pad rows on P, dinv = 1 — the
+        # pads are fully decoupled (zero in -> zero out, bit-identical real
+        # dofs) and make the level operators eligible for the Pallas DIA
+        # kernels (ops/pallas_dia.py requires nrows % 128 == 0).  Level 0
+        # arrives padded by the model's "pad multiple" layout; the host
+        # hierarchy (A, Ac, B, coords) stays unpadded.
+        rowpad = (-A.shape[0]) % 128 if levels else 0
+        A_dev = sp.block_diag(
+            [A, sp.identity(rowpad, format="csr")], format="csr"
+        ) if rowpad else A
+        P_dev = sp.vstack(
+            [P, sp.csr_matrix((rowpad, P.shape[1]))], format="csr"
+        ) if rowpad else P
+        dinv_dev = np.concatenate([dinv, np.ones(rowpad)]) if rowpad else dinv
         levels.append(
             AMGLevel(
-                device_matrix(A, dtype),
-                device_matrix(P, dtype, col_emb=emb),
-                jnp.asarray(dinv, dtype=dtype),
+                device_matrix(A_dev, dtype),
+                device_matrix(P_dev, dtype, col_emb=emb),
+                jnp.asarray(dinv_dev, dtype=dtype),
                 lmax,
             )
         )

@@ -41,12 +41,21 @@ def config_key(**kwargs) -> str:
 # Bump whenever any cached pytree layout changes (ELL/DIA/AMG/PC classes).
 # A cache written under a different schema silently misses -> rebuild;
 # round 1 shipped a bench crash from exactly this (stale pickled AMG layout).
-SCHEMA = "r4.1"  # r4: DIA aux gains the `dist` distribution tag
+SCHEMA = "r5.0"  # r5: AMG coarse levels row-padded to 128 (pallas rmv)
+
+
+def _tmp_name(path: str) -> str:
+    # unique per writer: two concurrent saves to the same path must not
+    # interleave into one tmp file (os.replace of a corrupt pickle would
+    # silently discard the cache benefit)
+    import threading
+
+    return f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
 
 
 def save(path: str, tree):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = _tmp_name(path)
     with open(tmp, "wb") as fh:
         pickle.dump({"schema": SCHEMA, "tree": to_host(tree)}, fh, protocol=4)
     os.replace(tmp, path)
@@ -70,7 +79,7 @@ def save_async(path: str, tree):
     def _write():
         try:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            tmp = path + ".tmp"
+            tmp = _tmp_name(path)
             with open(tmp, "wb") as fh:
                 pickle.dump({"schema": SCHEMA, "tree": host_tree}, fh, protocol=4)
             os.replace(tmp, path)

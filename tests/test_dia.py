@@ -182,3 +182,80 @@ def test_pallas_mv_kernel_interpret():
         )
         ref = A @ x
         assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
+
+
+def test_pallas_rmv_kernel_interpret():
+    """The Pallas banded transpose-matvec kernel against scipy, in
+    interpreter mode: aligned + partial final tile, single-tile case,
+    offsets spanning multiple 128-lane rows in both directions, and the
+    wide-band (slab > tile) scatter fallback."""
+    import pytest
+
+    from porotpu.ops import pallas_dia
+    from porotpu.ops.dia import DIA
+
+    if not pallas_dia.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(7)
+    cases = [
+        (1024, [-300, -129, -128, -1, 0, 1, 127, 128, 301], None),
+        (2048 + 1024, [-520, -42, 0, 5, 130, 515], None),  # partial tiles
+        (512, [-40, 0, 33], None),  # single tile (edges discarded)
+        # wide bands: ML/MH span multiple 16-row tiles -> scatter fallback
+        (4096, [-2500, -700, 0, 650, 2430], 16),
+    ]
+    for n, offs, t_force in cases:
+        A = sp.diags(
+            [rng.normal(size=n) for _ in offs], offs, shape=(n, n)
+        ).tocsr()
+        D = DIA.from_csr(A, dtype=jnp.float32)
+        x = rng.normal(size=n).astype(np.float32)
+        if t_force is not None:
+            orig = pallas_dia.T_MAX
+            pallas_dia.T_MAX = t_force
+            pallas_dia._rkernel_call.cache_clear()
+        try:
+            y = np.asarray(
+                pallas_dia.rmv(
+                    D.data, D.offsets, jnp.asarray(x), n, interpret=True
+                )
+            )
+        finally:
+            if t_force is not None:
+                pallas_dia.T_MAX = orig
+                pallas_dia._rkernel_call.cache_clear()
+        ref = A.T @ x
+        assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max()), (n, offs)
+
+
+def test_pallas_rmv_kernel_col_emb_interpret():
+    """Restriction-like rectangular P^T r through the transpose kernel:
+    coarse columns embedded into the 128-aligned fine row lattice."""
+    import pytest
+
+    from porotpu.ops import pallas_dia
+    from porotpu.ops.dia import DIA
+
+    if not pallas_dia.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(8)
+    nf, nc = 1280, 150
+    emb = np.sort(rng.choice(nf, size=nc, replace=False))
+    rows, cols, vals = [], [], []
+    for j in range(nc):
+        i = np.clip(emb[j] + np.arange(-170, 171, 34), 0, nf - 1)
+        rows.append(i)
+        cols.append(np.full(i.size, j))
+        vals.append(rng.normal(size=i.size))
+    P = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nf, nc),
+    )
+    D = DIA.from_csr(P, dtype=jnp.float32, col_emb=emb)
+    assert D.ne == D.nrows
+    r = rng.normal(size=nf).astype(np.float32)
+    y = np.asarray(
+        pallas_dia.rmv(D.data, D.offsets, jnp.asarray(r), nf, interpret=True)
+    )[np.asarray(D.col_emb)]
+    ref = P.T @ r
+    assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
