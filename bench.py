@@ -309,39 +309,20 @@ def run_bench(dtype_name, N, strict=True, pc_dtype=None):
             sys.exit(1)
         raise RuntimeError("secondary bench datapoint failed its convergence guard")
 
-    # SpMV throughput on the block operator (chained: rep i+1 consumes
-    # rep i's output, so the transport cannot dedup; one terminal fetch)
-    A = problem.A_dev
-    spmv = jax.jit(lambda a, x: a.matvec(x))
-    y = spmv(A, b)
-    fetch(y)
-    reps = 50
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = spmv(A, y)
-    fetch(y)
-    spmv_s = (time.perf_counter() - t0 - rtt) / reps
-    nnz_padded = sum(int(e.nnz_padded) for e in A.blocks.values())
+    # SpMV throughput on the block operator and the chip's stream peak,
+    # both via the shared fori_loop-chain R2-R1 delta methodology
+    # (porotpu/utils/roofline.py — ONE peak methodology in the tree, the
+    # same code path as tools/roofline.py / PERF.md).  The banded sweep's
+    # traffic floor is one read of the diagonal data + one read of x +
+    # one write of y per matvec (the shifted slices of x re-read cached
+    # lines; charged once — the DATA stream dominates).
+    from porotpu.utils.roofline import op_stream_time, stream_peak
 
-    # HBM roofline: measure the chip's streaming peak with a same-dtype
-    # triad (y = a*x + y: 3 arrays touched/rep), then state the SpMV's
-    # effective bandwidth as a fraction of it.  The banded sweep's traffic
-    # floor is one read of the diagonal data + one read of x + one write
-    # of y per matvec (the shifted slices of x re-read cached lines; we
-    # charge them once — the DATA stream dominates at 40-240 diagonals).
+    A = problem.A_dev
+    spmv_s = op_stream_time(A, b)
+    nnz_padded = sum(int(e.nnz_padded) for e in A.blocks.values())
     itemsize = np.dtype(np.float32 if dtype == jnp.float32 else np.float64).itemsize
-    nt = min(64 * 1024 * 1024, max(nnz_padded, 8 * 1024 * 1024))
-    xa = jnp.ones((nt,), dtype=dtype)
-    ya = jnp.ones((nt,), dtype=dtype)
-    triad = jax.jit(lambda x, y: 1.0001 * x + y)
-    z = triad(xa, ya)
-    fetch(z)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        z = triad(xa, z)
-    fetch(z)
-    triad_s = (time.perf_counter() - t0 - rtt) / 10
-    peak_gbs = 3 * nt * itemsize / triad_s / 1e9
+    peak_gbs = stream_peak(dtype, mb=256)
     nvec = int(b.shape[0])
     spmv_gbs = (nnz_padded + 2 * nvec) * itemsize / spmv_s / 1e9
     log(
@@ -351,7 +332,7 @@ def run_bench(dtype_name, N, strict=True, pc_dtype=None):
     log(
         f"roofline [{dtype_name}]: SpMV {spmv_gbs:.1f} GB/s = "
         f"{100 * spmv_gbs / peak_gbs:.1f}% of measured stream peak "
-        f"{peak_gbs:.1f} GB/s (triad, {3 * nt * itemsize / 1e6:.0f} MB/rep)"
+        f"{peak_gbs:.1f} GB/s (chained triad, 256 MB arrays)"
     )
 
     return {

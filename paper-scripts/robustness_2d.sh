@@ -7,6 +7,7 @@
 set -u -o pipefail
 DO_EXACT=${DO_EXACT:-true}
 DO_INEXACT=${DO_INEXACT:-true}
+DO_QEXACT=${DO_QEXACT:-true}
 NS_SWELLING=${NS_SWELLING:-"10 20 40 80 160"}
 NS_FOOTING=${NS_FOOTING:-"10 20 40 80"}
 # The exact operating point is a DENSE-LU substitution for MUMPS
@@ -15,6 +16,12 @@ NS_FOOTING=${NS_FOOTING:-"10 20 40 80"}
 # N<=20 (footing's local refinement reaches 126k dofs by N=40).
 NS_SWELLING_EXACT=${NS_SWELLING_EXACT:-"10 20 40"}
 NS_FOOTING_EXACT=${NS_FOOTING_EXACT:-"10 20"}
+# Quasi-exact (petsc-options-exact-iterative): tight-iterative MUMPS
+# substitute run over the FULL reference exact grid
+# (reference robustness_2d.sh:26-42) — the overlap with the dense-LU
+# cells above validates the substitution (ANALYSIS.md §5).
+NS_SWELLING_QEXACT=${NS_SWELLING_QEXACT:-"10 20 40 80 160"}
+NS_FOOTING_QEXACT=${NS_FOOTING_QEXACT:-"10 20 40 80"}
 # iteration robustness is a per-step property: the first steps suffice
 TF=${TF:-0.02}
 export PORO_PLATFORM=${PORO_PLATFORM:-cpu}
@@ -41,6 +48,17 @@ if [ "$DO_EXACT" = true ]; then
     for N in $NS_FOOTING_EXACT; do
         run_case footing.py $N petsc-options-exact "undrained" $OUTDIR/robustness-2d-footing-2way.out
         run_case footing.py $N petsc-options-exact "undrained 3-way" $OUTDIR/robustness-2d-footing-3way.out
+    done
+fi
+
+if [ "$DO_QEXACT" = true ]; then
+    for N in $NS_SWELLING_QEXACT; do
+        run_case swelling.py $N petsc-options-exact-iterative "diagonal" $OUTDIR/robustness-2d-swelling-2way-qexact.out
+        run_case swelling.py $N petsc-options-exact-iterative "diagonal 3-way" $OUTDIR/robustness-2d-swelling-3way-qexact.out
+    done
+    for N in $NS_FOOTING_QEXACT; do
+        run_case footing.py $N petsc-options-exact-iterative "undrained" $OUTDIR/robustness-2d-footing-2way-qexact.out
+        run_case footing.py $N petsc-options-exact-iterative "undrained 3-way" $OUTDIR/robustness-2d-footing-3way-qexact.out
     done
 fi
 

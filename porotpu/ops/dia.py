@@ -85,17 +85,28 @@ def _varying(y, vary):
     return y
 
 
-def _mv_sweep(data, offsets, xpad, base, n, unroll, vary=()):
-    """y[i] = sum_d data[d, i] * xpad[base + offsets[d] + i], i in [0, n).
+def _mv_sweep(data, offsets, xpad, base, n, unroll, vary=(), row0=0):
+    """y[i] = sum_d data[d, row0 + i] * xpad[base + offsets[d] + i],
+    i in [0, n).
 
     Unrolled static slices up to ``unroll`` diagonals; above that a
     lax.scan over CHUNK-diagonal chunks (+ an unrolled remainder tail).
+    ``row0`` windows the data rows IN PLACE (per-diagonal fused slices) —
+    slicing the (nd, nrows) array up front would materialize a copy of
+    the whole data stream before the scan consumed it.
     """
     nd = data.shape[0]
+    whole = row0 == 0 and n == data.shape[1]
+
+    def drow(row):
+        return row if whole else jax.lax.dynamic_slice(row, (row0,), (n,))
+
     y = _varying(jnp.zeros(n, dtype=xpad.dtype), vary)
     if nd <= unroll:
         for d, o in enumerate(offsets):
-            y = y + data[d] * jax.lax.dynamic_slice(xpad, (base + o,), (n,))
+            y = y + drow(data[d]) * jax.lax.dynamic_slice(
+                xpad, (base + o,), (n,)
+            )
         return y
     nmain = (nd // CHUNK) * CHUNK
     starts = jnp.asarray(
@@ -106,12 +117,12 @@ def _mv_sweep(data, offsets, xpad, base, n, unroll, vary=()):
     def body(y, args):
         dat, st = args
         for j in range(CHUNK):
-            y = y + dat[j] * jax.lax.dynamic_slice(xpad, (st[j],), (n,))
+            y = y + drow(dat[j]) * jax.lax.dynamic_slice(xpad, (st[j],), (n,))
         return y, None
 
     y, _ = jax.lax.scan(body, y, (dchunks, starts))
     for d in range(nmain, nd):
-        y = y + data[d] * jax.lax.dynamic_slice(
+        y = y + drow(data[d]) * jax.lax.dynamic_slice(
             xpad, (base + offsets[d],), (n,)
         )
     return y
@@ -166,12 +177,24 @@ class DIA:
         space; None means emb = identity (ncols-dim input read in place).
     dist: static distribution tag (see module docstring): None,
         ("repl",), ("gspmd",), or ("halo", Mesh).
+    dataT: optional (nd, ne) transposed-layout copy —
+        dataT[d, i + offsets[d]] = data[d, i] — built at construction
+        (``store_transpose``) for operators whose rmatvec is hot
+        (prolongator restrictions, Transposed coupling blocks): the
+        transpose of a banded matrix is banded with negated offsets, so
+        rmatvec dispatches the SAME 831 GB/s Pallas forward kernel on
+        (dataT, -offsets) instead of the slot-accumulation transpose
+        kernel (measured 6.6x slower — VPU-bound on per-residue
+        rotations).  Costs one extra copy of the operator stream; the
+        sharded paths drop it (parallel/sharding.py rebuilds without).
     """
 
     def __init__(
-        self, data, offsets, nrows, ncols, col_emb=None, ne=None, dist=None
+        self, data, offsets, nrows, ncols, col_emb=None, ne=None, dist=None,
+        dataT=None,
     ):
         self.data = data
+        self.dataT = dataT
         self.offsets = tuple(int(o) for o in offsets)
         self.nrows = int(nrows)
         self.ncols = int(ncols)
@@ -187,7 +210,7 @@ class DIA:
         self.dist = dist
 
     def tree_flatten(self):
-        return (self.data, self.col_emb), (
+        return (self.data, self.col_emb, self.dataT), (
             self.offsets,
             self.nrows,
             self.ncols,
@@ -197,9 +220,9 @@ class DIA:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, col_emb = children
+        data, col_emb, dataT = children
         offsets, nrows, ncols, ne, dist = aux
-        return cls(data, offsets, nrows, ncols, col_emb, ne, dist)
+        return cls(data, offsets, nrows, ncols, col_emb, ne, dist, dataT)
 
     @property
     def shape(self):
@@ -222,9 +245,16 @@ class DIA:
         dtype=jnp.float32,
         col_emb: np.ndarray | None = None,
         max_diags: int | None = None,
+        store_transpose: bool = False,
     ) -> "DIA | None":
         """Convert CSR to DIA. Returns None if the diagonal count exceeds
-        ``max_diags`` (caller falls back to ELL)."""
+        ``max_diags`` (caller falls back to ELL).
+
+        ``store_transpose``: also build the transposed-layout ``dataT``
+        (one extra scatter — same cost as the data fill) so rmatvec rides
+        the Pallas forward kernel; only meaningful for f32 (the kernel's
+        eligible dtype), silently skipped otherwise.
+        """
         A = A.tocsr()
         A.sum_duplicates()
         A.eliminate_zeros()
@@ -244,7 +274,13 @@ class DIA:
         data[didx, coo.row] = coo.data
         offs = list(int(o) for o in offsets) or [0]
         emb = None if col_emb is None else jnp.asarray(col_emb, dtype=jnp.int32)
-        return cls(jnp.asarray(data), tuple(offs), n, m, emb)
+        dataT = None
+        if store_transpose and np_dtype == np.float32:
+            ne = n if col_emb is None else max(n, int(col_emb.max()) + 1)
+            dT = np.zeros((nd, ne), dtype=np_dtype)
+            dT[didx, ecol] = coo.data
+            dataT = jnp.asarray(dT)
+        return cls(jnp.asarray(data), tuple(offs), n, m, emb, dataT=dataT)
 
     # -- padding bookkeeping --------------------------------------------
 
@@ -285,13 +321,24 @@ class DIA:
         return s
 
     def _halo_matvec(self, x: jax.Array) -> jax.Array:
-        """One aggregated boundary-slab exchange per matvec.
+        """One aggregated boundary-slab exchange per matvec, OVERLAPPED
+        with the interior sweep.
 
         Each shard ppermutes its trailing ``hl`` entries right and its
         leading ``hr`` entries left (edge shards receive zeros — exactly
-        the global zero padding), concatenates [left | local | right],
-        and runs the full shifted-slice sweep on local arrays.  2
-        collective-permutes per product, independent of diagonal count.
+        the global zero padding).  2 collective-permutes per product,
+        independent of diagonal count.  The sweep is split so the
+        permutes can fly under compute (the PETSc MatMult
+        VecScatterBegin/End-around-local-diagonal overlap, reference
+        lib/AAR.py:135, SURVEY §2.5):
+
+        - interior rows [hl, nloc-hr) read ONLY the local x — this sweep
+          has no data dependence on either permute, so XLA's
+          latency-hiding scheduler hoists it between the
+          collective-permute-start/done pair (asserted on the scheduled
+          TPU HLO in tests/test_parallel.py);
+        - the hl top rows / hr bottom rows are fixed up with two small
+          boundary sweeps that consume the received slabs.
         """
         mesh, axes = self._mesh_axes()
         nsh = mesh.size
@@ -301,19 +348,55 @@ class DIA:
         fwd = [(i, i + 1) for i in range(nsh - 1)]
         bwd = [(i + 1, i) for i in range(nsh - 1)]
 
-        def exchange(xloc):
+        def sweep_split(data, xloc):
+            # start both permutes first; nothing below depends on them
+            # until the boundary fix-ups
+            left = (
+                jax.lax.ppermute(xloc[nloc - hl :], axes, fwd) if hl else None
+            )
+            right = jax.lax.ppermute(xloc[:hr], axes, bwd) if hr else None
+            ni = nloc - hl - hr  # interior rows
+            parts = []
+            if hl:
+                # top rows [0, hl): read [left | xloc[: hl + hr]]
+                xt = jnp.concatenate([left, xloc[: hl + hr]])
+                parts.append(
+                    _mv_sweep(data, offs, xt, hl, hl, UNROLL_LOCAL, vary=axes)
+                )
+            # interior rows [hl, nloc - hr): local-only reads
+            parts.append(
+                _mv_sweep(
+                    data, offs, xloc, hl, ni, UNROLL_LOCAL, vary=axes, row0=hl
+                )
+            )
+            if hr:
+                # bottom rows [nloc - hr, nloc): read [xloc[-(hl+hr):] | right]
+                xb = jnp.concatenate([xloc[nloc - hr - hl :], right])
+                parts.append(
+                    _mv_sweep(
+                        data, offs, xb, hl, hr, UNROLL_LOCAL, vary=axes,
+                        row0=nloc - hr,
+                    )
+                )
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        def sweep_seq(data, xloc):
+            # degenerate split (interior empty): sequential exchange+sweep
             parts = []
             if hl:
                 parts.append(jax.lax.ppermute(xloc[nloc - hl :], axes, fwd))
             parts.append(xloc)
             if hr:
                 parts.append(jax.lax.ppermute(xloc[:hr], axes, bwd))
-            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            xpad = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            return _mv_sweep(data, offs, xpad, hl, nloc, UNROLL_LOCAL, vary=axes)
+
+        body = sweep_split if nloc - hl - hr > 0 else sweep_seq
 
         if self.col_emb is None:
 
             def local(data, xloc):
-                return _mv_sweep(data, offs, exchange(xloc), hl, nloc, UNROLL_LOCAL, vary=axes)
+                return body(data, xloc)
 
             return jax.shard_map(
                 local,
@@ -332,7 +415,7 @@ class DIA:
             xloc = jnp.zeros(nloc, dtype=xsmall.dtype).at[idx].set(
                 xsmall, mode="drop"
             )
-            return _mv_sweep(data, offs, exchange(xloc), hl, nloc, UNROLL_LOCAL, vary=axes)
+            return body(data, xloc)
 
         return jax.shard_map(
             local,
@@ -456,7 +539,17 @@ class DIA:
         if self._pallas_eligible(x):
             from . import pallas_dia
 
-            y = pallas_dia.rmv(self.data, self.offsets, x, self.nrows)
+            if self.dataT is not None:
+                # transposed layout: A^T is banded with negated offsets —
+                # run the forward streaming kernel on (dataT, -offsets)
+                y = pallas_dia.mv(
+                    self.dataT,
+                    tuple(-o for o in self.offsets),
+                    x,
+                    self.ne,
+                )
+            else:
+                y = pallas_dia.rmv(self.data, self.offsets, x, self.nrows)
             if self.col_emb is not None:
                 return y[self.col_emb]
             return y[: self.ncols]
@@ -605,6 +698,7 @@ def device_matrix(
     row_emb: np.ndarray | None = None,
     max_diags: int = 1024,
     dense_max: int = 16_000_000,
+    need_rmatvec: bool = False,
 ):
     """Pick the device format for a host CSR matrix by streaming cost.
 
@@ -628,12 +722,20 @@ def device_matrix(
     candidates = []  # (cost, order, builder)
     c = _dia_cost(coo, col_emb, max_diags)
     if c is not None:
-        candidates.append((c, 0, lambda: DIA.from_csr(A, dtype, col_emb=col_emb)))
+        candidates.append(
+            (c, 0, lambda: DIA.from_csr(
+                A, dtype, col_emb=col_emb, store_transpose=need_rmatvec
+            ))
+        )
     At = A.T.tocsr()
     ct = _dia_cost(At.tocoo(), row_emb, max_diags)
     if ct is not None:
+        # the Transposed wrapper's FORWARD product is the inner's rmatvec,
+        # so the inner always stores the transposed layout (hot path)
         candidates.append(
-            (ct, 1, lambda: Transposed(DIA.from_csr(At, dtype, col_emb=row_emb)))
+            (ct, 1, lambda: Transposed(
+                DIA.from_csr(At, dtype, col_emb=row_emb, store_transpose=True)
+            ))
         )
     if n * m <= dense_max:
         candidates.append((n * m, 2, lambda: Dense.from_csr(A, dtype)))

@@ -197,7 +197,10 @@ def _rkernel_call(offsets, nd, R, dtype_name, interpret):
     for d, (q, r) in enumerate(qr):
         groups.setdefault(r, []).append((d, q + ML))  # slot = q + ML
 
-    def kernel(data_ref, x_ref, ymain_ref, yedge_ref):
+    def kernel(data_ref, x_ref, ymain_ref, yedge_ref, accP_ref, acc_ref):
+        # accP/acc are VMEM scratch: Mosaic has no dynamic_update_slice on
+        # VALUES, but static slices of REFS read/write fine — the slotted
+        # accumulation is a ref store per diagonal
         i = pl.program_id(0)
         # mask garbage rows of the final partial tile: the data/x blocks
         # beyond row R are uninitialized VMEM, and their products would
@@ -207,28 +210,26 @@ def _rkernel_call(offsets, nd, R, dtype_name, interpret):
         )
         xt = x_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
-        acc = jnp.zeros((W, LANES), dtype=dtype)
+        acc_ref[:] = jnp.zeros((W, LANES), dtype=dtype)
         for r, members in groups.items():
-            accP = jnp.zeros((W, LANES), dtype=dtype)
+            if r != 0:
+                accP_ref[:] = jnp.zeros((W, LANES), dtype=dtype)
+            tgt = acc_ref if r == 0 else accP_ref
             for d, slot in members:
                 p = jnp.where(rowmask, data_ref[d] * xt, 0)
-                accP = jax.lax.dynamic_update_slice(
-                    accP,
-                    jax.lax.dynamic_slice(accP, (slot, 0), (T, LANES)) + p,
-                    (slot, 0),
-                )
-            if r == 0:
-                acc = acc + accP
-            else:
+                tgt[slot : slot + T] = tgt[slot : slot + T] + p
+            if r != 0:
                 # shift flat indices forward by r: lane l -> (l + r) % 128
                 # with the wrapped lanes carrying into the NEXT row.  The
                 # row-roll is circular, but accP's last row is provably
                 # zero (slot_max + T - 1 == W - 2), so nothing wraps.
-                b1 = pltpu.roll(accP, jnp.int32(r), axis=1)
+                b1 = pltpu.roll(accP_ref[:], jnp.int32(r), axis=1)
                 bd = pltpu.roll(b1, jnp.int32(1), axis=0)
-                acc = acc + jnp.where(lane >= r, b1, bd)
-        ymain_ref[:] = acc[ML : ML + T]
-        yedge_ref[0] = jnp.concatenate([acc[:ML], acc[ML + T :]], axis=0)
+                acc_ref[:] = acc_ref[:] + jnp.where(lane >= r, b1, bd)
+        ymain_ref[:] = acc_ref[ML : ML + T]
+        if ML:
+            yedge_ref[0, :ML] = acc_ref[:ML]
+        yedge_ref[0, ML:] = acc_ref[ML + T :]
 
     ntiles = pl.cdiv(R, T)
     call = pl.pallas_call(
@@ -254,6 +255,10 @@ def _rkernel_call(offsets, nd, R, dtype_name, interpret):
                 memory_space=pltpu.VMEM,
             ),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((W, LANES), dtype),
+            pltpu.VMEM((W, LANES), dtype),
+        ],
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
             if not interpret

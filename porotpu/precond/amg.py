@@ -497,7 +497,9 @@ def amg_setup(
         levels.append(
             AMGLevel(
                 device_matrix(A_dev, dtype),
-                device_matrix(P_dev, dtype, col_emb=emb),
+                # restriction (P^T r) is as hot as prolongation: store the
+                # transposed layout so both ride the Pallas forward kernel
+                device_matrix(P_dev, dtype, col_emb=emb, need_rmatvec=True),
                 jnp.asarray(dinv_dev, dtype=dtype),
                 lmax,
             )

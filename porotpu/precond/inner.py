@@ -177,6 +177,25 @@ class InnerSolver:
             # discrete-Cahouet-Chabard Schur solver (precond/schur.py):
             # y = S_md^-1 b + w_visc diag^-1 b
             return self.payload["base"](b) + self.payload["wdiag"] * b
+        if k == "fgmres+fs":
+            # quasi-exact fp solve: fixed-iteration flexible GMRES on the
+            # saddle fp BLOCK OPERATOR preconditioned by the Schur
+            # fieldsplit — the tight-iterative substitute for the
+            # reference's single MUMPS LU of the fp submatrix
+            # (petsc-options-exact:31-35) above the dense cap.  One
+            # fieldsplit APPLICATION alone is only a preconditioner (its
+            # Schur block is approximate); iterating it to ~1e-12 makes
+            # the fp solve exact to working precision, so outer counts can
+            # be validated against the true dense-LU cells (ANALYSIS.md).
+            from ..solvers.gmres import fgmres
+
+            A = self.payload["A"]
+            fs = self.payload["fs"]
+            res = fgmres(
+                A.matvec, b, M=fs, rtol=1e-12, atol=0.0,
+                maxiter=self.iters, restart=self.iters,
+            )
+            return self._monitored(b, res.x)
         raise ValueError(f"unknown inner solver kind {self.kind}")
 
 

@@ -41,7 +41,7 @@ def config_key(**kwargs) -> str:
 # Bump whenever any cached pytree layout changes (ELL/DIA/AMG/PC classes).
 # A cache written under a different schema silently misses -> rebuild;
 # round 1 shipped a bench crash from exactly this (stale pickled AMG layout).
-SCHEMA = "r5.0"  # r5: AMG coarse levels row-padded to 128 (pallas rmv)
+SCHEMA = "r5.1"  # r5: AMG levels row-padded to 128; DIA gains dataT child
 
 
 def _tmp_name(path: str) -> str:

@@ -74,7 +74,17 @@ class OptionsDB:
         if pc in ("lu", "cholesky") or (
             pc == "" and items.get("pc_factor_mat_solver_type")
         ):
-            return InnerConfig(method="lu")
+            cfg = InnerConfig(method="lu")
+            # quasi-exact operating point (petsc-options-exact-iterative):
+            # -X_lu_max_size 0 forces the tight-iterative MUMPS substitute
+            # (cg+amg at lu_fallback_iters) even where dense LU would fit,
+            # so the substitution can be validated against true dense-LU
+            # outer counts on the overlapping grid cells (ANALYSIS.md §5)
+            if "lu_max_size" in items:
+                cfg.lu_max_size = int(items["lu_max_size"])
+            if "lu_fallback_iters" in items:
+                cfg.lu_fallback_iters = int(items["lu_fallback_iters"])
+            return cfg
         if pc in ("hypre", "gamg", "ml", "amg"):
             sweeps = items.get("pc_hypre_boomeramg_grid_sweeps_all")
             cfg_kwargs = {}

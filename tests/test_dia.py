@@ -228,6 +228,59 @@ def test_pallas_rmv_kernel_interpret():
         assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max()), (n, offs)
 
 
+def test_dia_transposed_layout_matches():
+    """store_transpose builds dataT with dataT[d, i+o] = data[d, i]; the
+    forward kernel on (dataT, -offsets) must equal A.T @ x (the production
+    rmatvec fast path on TPU), incl. under a column embedding."""
+    import pytest
+
+    from porotpu.ops import pallas_dia
+    from porotpu.ops.dia import DIA
+
+    if not pallas_dia.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(9)
+    # square banded
+    n = 1280
+    offs = [-300, -129, -1, 0, 1, 127, 301]
+    A = sp.diags([rng.normal(size=n) for _ in offs], offs, shape=(n, n)).tocsr()
+    D = DIA.from_csr(A, dtype=jnp.float32, store_transpose=True)
+    assert D.dataT is not None and D.dataT.shape == (len(offs), n)
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(
+        pallas_dia.mv(
+            D.dataT, tuple(-o for o in D.offsets), jnp.asarray(x), n,
+            interpret=True,
+        )
+    )
+    ref = A.T @ x
+    assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
+    # embedded prolongator: gather through col_emb afterwards
+    nf, nc = 1280, 100
+    emb = np.sort(rng.choice(nf, size=nc, replace=False))
+    rows, cols, vals = [], [], []
+    for j in range(nc):
+        i = np.clip(emb[j] + np.arange(-130, 131, 26), 0, nf - 1)
+        rows.append(i)
+        cols.append(np.full(i.size, j))
+        vals.append(rng.normal(size=i.size))
+    P = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nf, nc),
+    )
+    Dp = DIA.from_csr(P, dtype=jnp.float32, col_emb=emb, store_transpose=True)
+    assert Dp.dataT is not None and Dp.dataT.shape[1] == Dp.ne == nf
+    r = rng.normal(size=nf).astype(np.float32)
+    y = np.asarray(
+        pallas_dia.mv(
+            Dp.dataT, tuple(-o for o in Dp.offsets), jnp.asarray(r), nf,
+            interpret=True,
+        )
+    )[np.asarray(Dp.col_emb)]
+    ref = P.T @ r
+    assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
+
+
 def test_pallas_rmv_kernel_col_emb_interpret():
     """Restriction-like rectangular P^T r through the transpose kernel:
     coarse columns embedded into the 128-aligned fine row lattice."""

@@ -371,6 +371,80 @@ def test_sharded_dia_spmv_uses_halo_exchange():
     assert np.allclose(y, A @ np.asarray(x), atol=1e-10)
 
 
+def test_halo_matvec_interior_independent_of_permutes():
+    """Comm/compute overlap invariant (SURVEY §2.5 north-star; the PETSc
+    VecScatterBegin/End-around-local-multiply pattern, lib/AAR.py:135):
+    the interior sweep of the halo matvec must have NO data dependence on
+    either collective-permute, so XLA's latency-hiding scheduler can run
+    it while the slabs are in flight.
+
+    Asserted on the jaxpr dependence graph (backend-independent — the CPU
+    test backend compiles synchronous collective-permutes, so the
+    TPU-scheduled start/done bracketing cannot be observed here): every
+    arithmetic consumer downstream of a ppermute output must be
+    boundary-sized (O(halo width)), never the nloc-sized interior sweep.
+    The pre-overlap sequential body fails this: its permutes fed the full
+    [left | local | right] concatenation that every multiply consumed."""
+    import scipy.sparse as sp
+    from porotpu.ops.dia import DIA
+
+    n = 1600
+    rng = np.random.default_rng(5)
+    offs = [-8, -5, -1, 0, 1, 5, 8]
+    A = sp.diags([rng.normal(size=n) for _ in offs], offs, shape=(n, n)).tocsr()
+    D = DIA.from_csr(A, dtype=jnp.float64)
+    mesh = solver_mesh(8)
+    Ds = shard_ell(D, mesh)
+    assert Ds.dist is not None and Ds.dist[0] == "halo"
+    x = shard_vector(jnp.asarray(rng.normal(size=n)), mesh)
+    jaxpr = jax.make_jaxpr(lambda d, v: d.matvec(v))(Ds, x)
+
+    nloc = n // 8
+    hl, hr = 8, 8
+    bound = 3 * (hl + hr)  # boundary windows are O(halo), far below nloc
+
+    def inner_jaxprs(eqn):
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for w in vs:
+                if hasattr(w, "eqns"):  # Jaxpr
+                    yield w
+                elif hasattr(w, "jaxpr"):  # ClosedJaxpr
+                    yield w.jaxpr
+
+    def walk(jx, found):
+        """Forward cone of ppermute outvars within one jaxpr; assert every
+        arithmetic eqn in the cone stays boundary-sized."""
+        cone = set()
+        for eqn in jx.eqns:
+            prim = eqn.primitive.name
+            if prim == "ppermute":
+                found[0] = True
+                cone.update(map(str, eqn.outvars))
+                continue
+            for sub in inner_jaxprs(eqn):  # shard_map / pjit / scan bodies
+                walk(sub, found)
+            ins = [str(v) for v in eqn.invars if hasattr(v, "aval")]
+            if any(i in cone for i in ins):
+                cone.update(map(str, eqn.outvars))
+                if prim in ("mul", "add", "sub", "dot_general"):
+                    size = max(
+                        int(np.prod(v.aval.shape)) for v in eqn.outvars
+                    )
+                    assert size <= bound, (
+                        f"{prim} of size {size} depends on the halo "
+                        f"permutes — interior sweep is not independent"
+                    )
+
+    found = [False]
+    walk(jaxpr.jaxpr, found)
+    assert found[0], "expected ppermute eqns in the halo matvec jaxpr"
+    # and the split body still computes the right thing
+    f = jax.jit(lambda d, v: d.matvec(v))
+    y = np.asarray(f(Ds, x))
+    assert np.allclose(y, A @ np.asarray(x), atol=1e-10)
+
+
 def test_embedded_halo_matvec_cross_shard_scatter():
     """Regression: the embedded (col_emb) halo matvec must DROP coarse
     dofs owned by other shards — negative traced indices WRAP in jax

@@ -34,55 +34,11 @@ import numpy as np
 from jax import lax
 
 
+from porotpu.utils.roofline import delta_time, pattern as _pattern, stream_peak  # noqa: E402  (shared methodology — bench.py uses the same helpers)
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def _pattern(n, dtype, seed=0):
-    # deterministic device-generated data: big jax.random generations take
-    # minutes on the axon backend; an iota-mod pattern streams at full rate
-    i = jnp.arange(n, dtype=jnp.int32)
-    return (((i * (1103 + seed)) % 1009).astype(dtype) - 504.0) * 1e-3
-
-
-def delta_time(make_chain, init, trials=3, R1=3, R2=13):
-    """Per-iteration seconds of a chained body via the R2-R1 delta."""
-    f1, f2 = make_chain(R1), make_chain(R2)
-    float(f1(init))  # compile + warm
-    float(f2(init))
-
-    def timed(f, eps):
-        x = jax.tree_util.tree_map(
-            lambda a: a * (1.0 + eps) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            init,
-        )
-        jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        float(f(x))
-        return time.perf_counter() - t0
-
-    t1 = min(timed(f1, 1e-5 * (i + 1)) for i in range(trials))
-    t2 = min(timed(f2, 1e-5 * (i + 11)) for i in range(trials))
-    return max((t2 - t1) / (R2 - R1), 1e-12)
-
-
-def stream_peak(dtype, mb):
-    n = int(mb * 1e6 / np.dtype(dtype).itemsize)
-    x = jax.jit(_pattern, static_argnums=(0, 1))(n, dtype)
-
-    def make(R):
-        @jax.jit
-        def f(x):
-            def body(i, y):
-                return (1.0 + 1e-7 * i.astype(dtype)) * x + y
-
-            y = lax.fori_loop(0, R, body, jnp.zeros_like(x))
-            return y[0] + y[-1]
-
-        return f
-
-    t = delta_time(make, x, R1=5, R2=55)
-    return 3 * n * np.dtype(dtype).itemsize / t / 1e9  # GB/s
 
 
 def matmul_peak(dtype, n=8192):

@@ -50,7 +50,11 @@ def main():
     print()
     print("(exact = dense-LU inner solves, run for N<=40 — the documented")
     print("MUMPS substitution, SURVEY.md §2.3; inexact = AMG-preconditioned")
-    print("fixed-iteration inner solves, petsc-options-inexact.)")
+    print("fixed-iteration inner solves, petsc-options-inexact; qexact =")
+    print("quasi-exact tight-iterative inner solves — 60 V-cycle-CG")
+    print("iterations per block, fp block solved by fieldsplit-preconditioned")
+    print("FGMRES to ~1e-12 — petsc-options-exact-iterative, validated")
+    print("against the dense-LU cells in ANALYSIS.md §5.)")
 
 
 if __name__ == "__main__":
