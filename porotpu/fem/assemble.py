@@ -334,6 +334,28 @@ def _facet_tabulation(space: FunctionSpace, facet_ids: np.ndarray):
             pairs = np.stack([f[:, [1, 2]], f[:, [0, 2]], f[:, [0, 1]]], axis=1)
             eids = space._edge_lookup(np.sort(pairs.reshape(-1, 2), axis=1))
             nodes.append(space.edge_node[eids].reshape(-1, 3))
+    elif space.degree == 3:
+        # facet-local edges in edge_list(fdim) order; per edge the node
+        # nearer the FIRST local vertex comes first (fem/elements.py P3
+        # ordering) — edge_node rows are [nearer smaller vertex, nearer
+        # larger], so flip when the local pair runs large -> small
+        fedges = elements.edge_list(fdim)  # interval (0,1) / TRI_EDGES
+        pj = f[:, fedges[:, 0]]  # (nf, nle)
+        pk = f[:, fedges[:, 1]]
+        pairs = np.stack([pj, pk], axis=2).reshape(-1, 2)
+        eids = space._edge_lookup(np.sort(pairs, axis=1))
+        flip = (pairs[:, 0] > pairs[:, 1]).astype(np.int64)
+        en = space.edge_node[eids]  # (nf*nle, 2)
+        first = en[np.arange(en.shape[0]), flip]
+        second = en[np.arange(en.shape[0]), 1 - flip]
+        both = np.stack([first, second], axis=1).reshape(
+            f.shape[0], -1
+        )  # (nf, 2*nle) interleaved per local edge
+        nodes.append(both)
+        if dim == 3:
+            nodes.append(
+                space.face_node[space._face_lookup(np.sort(f, axis=1))][:, None]
+            )
     fnodes = np.concatenate(nodes, axis=1)  # (nf, nbf)
 
     # geometry of the facet chart

@@ -78,17 +78,75 @@ class FunctionSpace:
             ).astype(np.int64)
             mid = 0.5 * (mesh.vertices[edges[:, 0]] + mesh.vertices[edges[:, 1]])
             node_coords = np.concatenate([mesh.vertices, mid], axis=0)
-        else:
-            raise ValueError("degree must be 1 or 2")
+        elif degree == 3:
+            # two nodes per edge (global order: nearer the SMALLER vertex
+            # first — edges are sorted pairs) + one bubble per face (2D:
+            # cell interior; 3D: triangular facet), matching the local
+            # element ordering in fem/elements.py (--fe-solid 3 support,
+            # reference lib/Parser.py:23-24)
+            edges, cell_edges = _build_edges(mesh)
+            self.edges = edges
+            self.cell_edges = cell_edges
+            ne = edges.shape[0]
+            va, vb = mesh.vertices[edges[:, 0]], mesh.vertices[edges[:, 1]]
+            en = np.stack(
+                [(2.0 * va + vb) / 3.0, (va + 2.0 * vb) / 3.0], axis=1
+            ).reshape(-1, mesh.dim)  # interleaved: [e0n0, e0n1, e1n0, ...]
+            if mesh.dim == 2:
+                faces = None
+                cell_faces = np.arange(mesh.num_cells)[:, None]
+                fc = mesh.vertices[mesh.cells].mean(axis=1)
+            else:
+                from .elements import TET_FACETS
 
-        # lattice-lexicographic renumbering (P2 spacing is hmin/2)
-        order = _lattice_order(node_coords, mesh.hmin() / 4.0)
+                tri = np.sort(
+                    mesh.cells[:, TET_FACETS].reshape(-1, 3), axis=1
+                )
+                faces, finv = np.unique(tri, axis=0, return_inverse=True)
+                cell_faces = finv.reshape(mesh.num_cells, 4)
+                fc = mesh.vertices[faces].mean(axis=1)
+            self.faces = faces
+            self.cell_faces = cell_faces
+            nfc = fc.shape[0]
+            self.num_nodes = nv + 2 * ne + nfc
+            # per-cell edge nodes with LOCAL orientation (nearer local-j
+            # first): flip when the local edge runs large->small vertex
+            le = edge_list(mesh.dim)
+            vj = mesh.cells[:, le[:, 0]]
+            vk = mesh.cells[:, le[:, 1]]
+            flip = (vj > vk).astype(np.int64)  # (nc, nle)
+            first = nv + 2 * cell_edges + flip
+            second = nv + 2 * cell_edges + (1 - flip)
+            enodes = np.stack([first, second], axis=2).reshape(
+                mesh.num_cells, -1
+            )
+            cell_nodes = np.concatenate(
+                [mesh.cells, enodes, nv + 2 * ne + cell_faces], axis=1
+            ).astype(np.int64)
+            node_coords = np.concatenate([mesh.vertices, en, fc], axis=0)
+        else:
+            raise ValueError("degree must be 1, 2 or 3")
+
+        # lattice-lexicographic renumbering (Pk spacing is hmin/k; the
+        # quantum is kept at hmin/4 for P1/P2 — the established layout —
+        # and hmin/6 for P3's third-point nodes)
+        order = _lattice_order(
+            node_coords, mesh.hmin() / (4.0 if degree <= 2 else 6.0)
+        )
         rank = np.empty(self.num_nodes, dtype=np.int64)
         rank[order] = np.arange(self.num_nodes)
         self.node_coords = np.ascontiguousarray(node_coords[order])
         self.cell_nodes = rank[cell_nodes]
         self.vert_node = rank[:nv]  # mesh vertex id -> space node id
-        self.edge_node = rank[nv:] if degree == 2 else None
+        if degree == 2:
+            self.edge_node = rank[nv:]
+        elif degree == 3:
+            ne = self.edges.shape[0]
+            # (ne, 2): per edge [node nearer smaller vertex, nearer larger]
+            self.edge_node = rank[nv : nv + 2 * ne].reshape(ne, 2)
+            self.face_node = rank[nv + 2 * ne :]
+        else:
+            self.edge_node = None
 
         self.ncomp = self.dim if vector else 1
         self.num_dofs = self.num_nodes * self.ncomp
@@ -111,20 +169,37 @@ class FunctionSpace:
         mesh = self.mesh
         f = mesh.boundary_facets[facet_ids]
         nodes = [self.vert_node[f.ravel()]]
-        if self.degree == 2:
-            # midpoint nodes of the facet's edges
+        if self.degree >= 2:
+            # edge nodes of the facet's edges (1 midpoint for P2, both
+            # third-points for P3 — edge_node is (ne,) resp. (ne, 2))
             if mesh.dim == 2:
                 fe = np.sort(f, axis=1)  # facet IS an edge
                 eids = self._edge_lookup(fe)
-                nodes.append(self.edge_node[eids])
+                nodes.append(self.edge_node[eids].ravel())
             else:
                 # 3 edges per triangular facet
                 pairs = np.concatenate(
                     [f[:, [0, 1]], f[:, [0, 2]], f[:, [1, 2]]], axis=0
                 )
                 eids = self._edge_lookup(np.sort(pairs, axis=1))
-                nodes.append(self.edge_node[eids])
+                nodes.append(self.edge_node[eids].ravel())
+        if self.degree == 3 and mesh.dim == 3:
+            nodes.append(self.face_node[self._face_lookup(np.sort(f, axis=1))])
         return np.unique(np.concatenate(nodes))
+
+    def _face_lookup(self, triples: np.ndarray) -> np.ndarray:
+        """Map sorted vertex triples to face ids (requires degree 3, 3D)."""
+        faces = self.faces
+        nvv = self.mesh.num_vertices + 1
+        key_all = (
+            faces[:, 0].astype(np.int64) * nvv + faces[:, 1]
+        ) * nvv + faces[:, 2]
+        key = (
+            triples[:, 0].astype(np.int64) * nvv + triples[:, 1]
+        ) * nvv + triples[:, 2]
+        order = np.argsort(key_all)
+        pos = np.searchsorted(key_all[order], key)
+        return order[pos]
 
     def _edge_lookup(self, pairs: np.ndarray) -> np.ndarray:
         """Map sorted vertex pairs to edge ids (requires degree 2)."""

@@ -1,12 +1,18 @@
-"""Continuous Lagrange elements P1/P2 on triangles and tetrahedra.
+"""Continuous Lagrange elements P1/P2/P3 on intervals/triangles/tetrahedra.
 
 Replaces DOLFIN's FiniteElement/VectorElement tabulation (reference:
-lib/Poromechanics.py:14-18 builds CG degree 2/2/1 spaces).  Basis functions
-are expressed in barycentric coordinates; geometry is affine so physical
-gradients are ``grad_ref @ inv(J)`` with a constant Jacobian per cell.
+lib/Poromechanics.py:14-18 builds CG degree 2/2/1 spaces; lib/Parser.py:
+23-24 exposes --fe-solid for arbitrary displacement degree).  Basis
+functions are expressed in barycentric coordinates; geometry is affine so
+physical gradients are ``grad_ref @ inv(J)`` with a constant Jacobian per
+cell.
 
 Local node ordering:
-- vertices first (simplex vertex order), then edge midpoints.
+- vertices first (simplex vertex order);
+- P2: one midpoint per edge, in edge_list order;
+- P3: TWO nodes per edge in edge_list order — for edge (j, k) the node
+  nearer j (lam_j = 2/3) comes first — then the interior/face bubbles:
+  one cell bubble in 2D, one per facet (TET_FACETS order) in 3D.
 - triangle edges: (1,2), (0,2), (0,1)   [edge i opposite vertex i]
 - tet edges:      (0,1), (0,2), (0,3), (1,2), (1,3), (2,3)
 """
@@ -77,7 +83,53 @@ def tabulate(dim: int, degree: int, points: np.ndarray):
                 + lam[:, k][:, None] * glam[j][None, :]
             )
         return phi, dphi
+    if degree == 3:
+        edges = edge_list(dim)
+        ne = edges.shape[0]
+        faces = _bubble_faces(dim)
+        nb = nv + 2 * ne + len(faces)
+        phi = np.zeros((nq, nb))
+        dphi = np.zeros((nq, nb, dim))
+        # vertex functions: l (3l - 1)(3l - 2) / 2
+        for i in range(nv):
+            li = lam[:, i]
+            phi[:, i] = 0.5 * li * (3.0 * li - 1.0) * (3.0 * li - 2.0)
+            dcoef = 0.5 * (27.0 * li * li - 18.0 * li + 2.0)
+            dphi[:, i, :] = dcoef[:, None] * glam[i][None, :]
+        # edge functions: 9/2 l_j l_k (3 l_near - 1), node nearer j first
+        for e, (j, k) in enumerate(edges):
+            lj, lk = lam[:, j], lam[:, k]
+            for s, (a, bb) in enumerate(((j, k), (k, j))):
+                la, lb = lam[:, a], lam[:, bb]
+                idx = nv + 2 * e + s
+                phi[:, idx] = 4.5 * la * lb * (3.0 * la - 1.0)
+                # d/dla = 9/2 lb (6 la - 1); d/dlb = 9/2 la (3 la - 1)
+                dphi[:, idx, :] = (
+                    (4.5 * lb * (6.0 * la - 1.0))[:, None] * glam[a][None, :]
+                    + (4.5 * la * (3.0 * la - 1.0))[:, None] * glam[bb][None, :]
+                )
+        # face/interior bubbles: 27 l_j l_k l_l
+        for fi, (j, k, l) in enumerate(faces):
+            lj, lk, ll = lam[:, j], lam[:, k], lam[:, l]
+            idx = nv + 2 * ne + fi
+            phi[:, idx] = 27.0 * lj * lk * ll
+            dphi[:, idx, :] = 27.0 * (
+                (lk * ll)[:, None] * glam[j][None, :]
+                + (lj * ll)[:, None] * glam[k][None, :]
+                + (lj * lk)[:, None] * glam[l][None, :]
+            )
+        return phi, dphi
     raise ValueError(f"unsupported degree {degree}")
+
+
+def _bubble_faces(dim: int):
+    """Index triples carrying the P3 cubic bubbles: the cell itself in 2D,
+    each facet (TET_FACETS order) in 3D, none in 1D."""
+    if dim == 1:
+        return []
+    if dim == 2:
+        return [(0, 1, 2)]
+    return [tuple(f) for f in TET_FACETS]
 
 
 def num_basis(dim: int, degree: int) -> int:
@@ -86,6 +138,8 @@ def num_basis(dim: int, degree: int) -> int:
         return nv
     if degree == 2:
         return nv + edge_list(dim).shape[0]
+    if degree == 3:
+        return nv + 2 * edge_list(dim).shape[0] + len(_bubble_faces(dim))
     raise ValueError(f"unsupported degree {degree}")
 
 

@@ -15,7 +15,55 @@ from __future__ import annotations
 import numpy as np
 
 
+def _gauss01(n: int, alpha: int):
+    """Gauss-Jacobi nodes/weights on [0, 1] for the weight (1-u)^alpha.
+
+    Exact for integrand polynomials of degree <= 2n - 1.  Used by the
+    collapsed (Duffy/conical-product) simplex rules below, which cover
+    arbitrary degree — the tabulated Dunavant/Keast rules handle the
+    common degree <= 4 cases with fewer points.
+    """
+    from scipy.special import roots_jacobi
+
+    t, w = roots_jacobi(n, alpha, 0.0)
+    # map [-1,1] -> [0,1]: (1-x)^alpha dx = (2(1-u))^alpha 2 du
+    return 0.5 * (t + 1.0), w / 2.0 ** (alpha + 1)
+
+
+def _collapsed_rule(dim: int, degree: int):
+    """Conical-product rule on the reference simplex, exact for total
+    degree ``degree`` (degree//2 + 1 points per direction)."""
+    n = degree // 2 + 1
+    if dim == 2:
+        # x = u1, y = u2 (1 - u1); J = (1 - u1)
+        u1, w1 = _gauss01(n, 1)
+        u2, w2 = _gauss01(n, 0)
+        x = u1[:, None] + 0.0 * u2[None, :]
+        y = u2[None, :] * (1.0 - u1[:, None])
+        w = w1[:, None] * w2[None, :]
+        pts = np.stack([x.ravel(), y.ravel()], axis=1)
+        return pts, w.ravel()
+    # x = u1, y = u2(1-u1), z = u3(1-u1)(1-u2); J = (1-u1)^2 (1-u2)
+    u1, w1 = _gauss01(n, 2)
+    u2, w2 = _gauss01(n, 1)
+    u3, w3 = _gauss01(n, 0)
+    X = u1[:, None, None] + 0.0 * (u2[None, :, None] + u3[None, None, :])
+    Y = u2[None, :, None] * (1.0 - u1[:, None, None]) + 0.0 * u3[None, None, :]
+    Z = (
+        u3[None, None, :]
+        * (1.0 - u1[:, None, None])
+        * (1.0 - u2[None, :, None])
+    )
+    W = w1[:, None, None] * w2[None, :, None] * w3[None, None, :]
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    return pts, W.ravel()
+
+
 def _tri_rule(degree: int):
+    if degree > 4:
+        # collapsed rule already includes the 1/2 volume factor via the
+        # Jacobian weights (sum w = 1/2)
+        return _collapsed_rule(2, degree)
     if degree <= 2:
         # 3-point edge-midpoint rule, exact degree 2
         pts = np.array([[0.5, 0.0], [0.5, 0.5], [0.0, 0.5]])
@@ -40,6 +88,8 @@ def _tri_rule(degree: int):
 
 
 def _tet_rule(degree: int):
+    if degree > 4:
+        return _collapsed_rule(3, degree)
     if degree <= 2:
         a, b = 0.585410196624969, 0.138196601125011
         pts = np.array(

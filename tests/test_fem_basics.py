@@ -175,6 +175,114 @@ def test_stiffness_nullspace_and_poisson():
     assert np.max(np.abs(u - uex)) < 5e-3  # P2, h=1/8
 
 
+@pytest.mark.parametrize("dim", [1, 2, 3])
+def test_p3_lagrange_and_partition(dim):
+    """P3 basis: Kronecker property at its own nodes + partition of unity
+    (--fe-solid 3 support, reference lib/Parser.py:23-24)."""
+    verts = np.vstack([np.zeros(dim), np.eye(dim)])
+    nodes = [verts[i] for i in range(dim + 1)]
+    for j, k in elements.edge_list(dim):
+        nodes.append((2 * verts[j] + verts[k]) / 3.0)
+        nodes.append((verts[j] + 2 * verts[k]) / 3.0)
+    for f in elements._bubble_faces(dim):
+        nodes.append(verts[list(f)].mean(axis=0))
+    nodes = np.asarray(nodes)
+    phi, dphi = elements.tabulate(dim, 3, nodes)
+    assert np.allclose(phi, np.eye(len(nodes)), atol=1e-12)
+    rng = np.random.default_rng(0)
+    pts = rng.random((17, dim)) * (1.0 / dim)
+    phi, dphi = elements.tabulate(dim, 3, pts)
+    assert np.allclose(phi.sum(axis=1), 1.0, atol=1e-12)
+    assert np.allclose(dphi.sum(axis=1), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("deg", [6])
+def test_quadrature_degree6_exactness(deg):
+    """Collapsed Gauss-Jacobi rules (degree > 4) integrate all monomials
+    of total degree <= 6 exactly — needed by P3 mass (degree 6)."""
+    pts, wts = quadrature.simplex_rule(2, deg)
+    for p in range(deg + 1):
+        for q in range(deg + 1 - p):
+            val = np.sum(wts * pts[:, 0] ** p * pts[:, 1] ** q)
+            assert np.isclose(val, _monomial_integral_tri(p, q), atol=1e-13)
+    pts, wts = quadrature.simplex_rule(3, deg)
+    for p in range(deg + 1):
+        for q in range(deg + 1 - p):
+            for r in range(deg + 1 - p - q):
+                val = np.sum(wts * pts[:, 0] ** p * pts[:, 1] ** q * pts[:, 2] ** r)
+                assert np.isclose(val, _monomial_integral_tet(p, q, r), atol=1e-13)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_p3_galerkin_exactness_cubic(dim):
+    """P3 convergence oracle: a CUBIC manufactured solution lies in the P3
+    space, so the discrete Poisson solution must equal its interpolant to
+    machine precision (Galerkin exactness) — a far sharper check than a
+    rate estimate.  Exercises the P3 dofmap (edge orientation, face
+    bubbles), stiffness/mass assembly at degree 6 quadrature, and BC node
+    queries on every boundary facet."""
+    if dim == 2:
+        mesh, *_ = generate_square(4, 1.0)
+    else:
+        mesh, *_ = generate_cube(3, 1.0)
+    V = FunctionSpace(mesh, 3)
+    x = V.node_coords
+    # u cubic, f = -lap u
+    if dim == 2:
+        uex = x[:, 0] ** 3 + 2.0 * x[:, 1] ** 3 + x[:, 0] * x[:, 1] ** 2 + x[:, 0]
+        f = -(6.0 * x[:, 0] + 12.0 * x[:, 1] + 2.0 * x[:, 0])
+    else:
+        uex = (
+            x[:, 0] ** 3
+            + 2.0 * x[:, 1] ** 3
+            + x[:, 2] ** 3
+            + x[:, 0] * x[:, 1] * x[:, 2]
+        )
+        f = -(6.0 * x[:, 0] + 12.0 * x[:, 1] + 6.0 * x[:, 2])
+    K = assemble.stiffness(V)
+    ones = np.ones(V.num_dofs)
+    assert np.allclose(K @ ones, 0.0, atol=1e-9)
+    M = assemble.mass(V)
+    # total mass = volume (partition of unity after assembly)
+    assert np.isclose(M.sum(), 1.0, atol=1e-10)
+    # NOTE: f is itself polynomial (degree 1) => M @ f is the EXACT load
+    # for -lap u against every P3 test function; no quadrature crime
+    b = M @ f
+    bdofs = V.boundary_nodes()
+    from porotpu.fem.bcs import apply_bcs_matrix, apply_bcs_vector
+
+    Kb = apply_bcs_matrix(K.tocsr(), bdofs)
+    bb = apply_bcs_vector(b, bdofs, uex[bdofs])
+    u = spla.spsolve(Kb.tocsc(), bb)
+    assert np.max(np.abs(u - uex)) < 1e-8
+
+
+def test_p3_facet_load_cubic_exact():
+    """P3 surface-load assembly: a constant traction on tagged facets must
+    integrate exactly (sum of load vector = traction * boundary length),
+    and the entries must reproduce ∫ g phi_a ds for a CUBIC g — exact for
+    the facet P3 element with the degree-6 facet rule."""
+    mesh, markers, LEFT, RIGHT, TOP, BOTTOM, NONE = generate_square(3, 1.0)
+    from porotpu.fem.mesh import generate_boundary_measure
+    from porotpu.models.loads import NormalLoad
+
+    ds_top = generate_boundary_measure(mesh, markers, [TOP])
+    V = FunctionSpace(mesh, 3, vector=True)
+    b = assemble.facet_load(V, ds_top, NormalLoad(lambda t: 1.0), 0.0)
+    # normal on TOP is (0, 1): total = length 1 in component y
+    assert np.isclose(b[1::2].sum(), 1.0, atol=1e-12)
+    assert np.isclose(b[0::2].sum(), 0.0, atol=1e-12)
+    # cubic-in-x traction via the expression-load path exercises phi
+    # against a cubic on each facet
+    from porotpu.models.loads import ExprLoad
+
+    g = ExprLoad(lambda t, x: np.stack(
+        [np.zeros(x.shape[0]), x[:, 0] ** 3], axis=1
+    ))
+    bg = assemble.facet_load(V, ds_top, g, 0.0)
+    assert np.isclose(bg[1::2].sum(), 0.25, atol=1e-12)  # ∫0^1 x^3 = 1/4
+
+
 def test_hooke_rigid_modes():
     mesh, *_ = generate_square(4, 1.0)
     V = FunctionSpace(mesh, 2, vector=True)

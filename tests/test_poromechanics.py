@@ -58,6 +58,29 @@ def test_footing_2way_matches_direct(pc_type):
     assert its < 60, f"{pc_type}: {its} iterations"
 
 
+def test_swelling_p3_solid_matches_direct():
+    """--fe-solid 3 end-to-end (reference lib/Parser.py:23-24): the P3/P2/P1
+    mixed discretization's jitted solve must match the scipy direct solve of
+    the identical BC-applied monolithic system."""
+    problem = benchmarks.swelling(
+        Nelements=3,
+        overrides={
+            "fe degree solid": 3,
+            "pc type": "diagonal",
+            "inner pc type": "lu",
+            "solver rtol": 1e-8,
+            "solver atol": 1e-10,
+        },
+    )
+    assert problem.W.space("s").degree == 3
+    t, its, xref, A, b = _step_with_direct(problem)
+    x = np.asarray(problem.sol)
+    rel = np.linalg.norm(x - xref) / np.linalg.norm(xref)
+    assert bool(problem.last_result.converged)
+    assert rel < 1e-5, f"P3 solid: rel err {rel}"
+    assert its < 40, f"P3 solid: {its} iterations"
+
+
 @pytest.mark.parametrize("pc_type", ["diagonal 3-way", "undrained 3-way"])
 def test_footing_3way_matches_direct(pc_type):
     problem = benchmarks.footing(
