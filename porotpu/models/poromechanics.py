@@ -770,6 +770,21 @@ class Poromechanics(AbstractPhysics):
         rtol = float(p.get("solver rtol", 1e-6))
         atol = float(p.get("solver atol", 1e-8))
         maxiter = int(p.get("solver maxiter", 500))
+        # "solver chunk": run the Krylov loop as ceil(maxiter/chunk)
+        # python-level calls of a chunk-maxiter program, warm-starting each
+        # from the previous x.  With chunk a multiple of the restart
+        # length this is MATHEMATICALLY IDENTICAL to the single long
+        # program (same restart boundaries, same per-iteration convergence
+        # test against the same b), but works around an XLA:TPU runtime
+        # crash ("TPU worker process crashed — kernel fault") reproduced
+        # for the f64 footing 3-way program at maxiter >~ 150 while the
+        # same program at maxiter <= 100 and the f32 twin at maxiter=500
+        # run fine (see output/ANALYSIS.md §6).
+        chunk = int(p.get("solver chunk", 0))
+        self._solve_chunks = 1
+        if chunk > 0 and solver_type not in ("aar",):
+            self._solve_chunks = -(-maxiter // chunk)
+            maxiter = chunk
         # global_ prefix overrides from the options DB
         # (reference: lib/Solver.py:101 setFromOptions with prefix "global_")
         odb = p.get("options db")
@@ -893,18 +908,25 @@ class Poromechanics(AbstractPhysics):
         b = self.get_rhs(t)
         t0 = _time.perf_counter()
         res = self._jit_solve(self.A_dev, self.pc, b, jnp.zeros_like(b))
+        total_its = int(res.iters)
+        # chunked-restart continuation (see create_solver "solver chunk")
+        for _ in range(self._solve_chunks - 1):
+            if bool(res.converged) or bool(res.diverged):
+                break
+            res = self._jit_solve(self.A_dev, self.pc, b, res.x)
+            total_its += int(res.iters)
         res.x.block_until_ready()
         self.t_solve_total += _time.perf_counter() - t0
 
         self.sol = res.x
-        self.pc_applies += int(res.iters)
+        self.pc_applies += total_its
         ns_p, nf_p, np_p = self.padded_sizes
         # rotate (padded) history (lib/Poromechanics.py:93-97)
         self.us_nm2 = self.us_nm1
         self.us_nm1 = res.x[:ns_p]
         self.uf_nm1 = res.x[ns_p : ns_p + nf_p]
         self.p_nm1 = res.x[ns_p + nf_p :]
-        its = int(res.iters)
+        its = total_its
         self.iteration_log.append(its)
         self.last_result = res
         if self.parameters.get("solver monitor", False):

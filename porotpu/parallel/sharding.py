@@ -191,18 +191,53 @@ def _shard_inner(solver: InnerSolver, mesh: Mesh) -> InnerSolver:
     )
 
 
-def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
-    """Fine levels row-sharded; coarse dense factors replicated."""
-    levels = []
-    for lvl in amg.levels:
-        levels.append(
-            AMGLevel(
-                shard_ell(lvl.A, mesh),
-                shard_ell(lvl.P, mesh),
-                shard_vector(lvl.dinv, mesh),
-                lvl.lmax,
-            )
+def _replicate_op(E, mesh: Mesh):
+    """Replicate a device operator and mark DIA dists as ("repl",)."""
+    if isinstance(E, Transposed):
+        return Transposed(_replicate_op(E.inner, mesh))
+    if isinstance(E, DIA):
+        put = lambda a: (
+            None if a is None else jax.device_put(a, NamedSharding(mesh, P()))
         )
+        return DIA(
+            put(E.data), E.offsets, E.nrows, E.ncols, put(E.col_emb),
+            E.ne, dist=("repl",), dataT=put(E.dataT),
+        )
+    return jax.device_put(E, NamedSharding(mesh, P()))
+
+
+def shard_amg(amg: AMG, mesh: Mesh) -> AMG:
+    """Level 0 row-sharded; levels >= 1 and dense coarse factors replicated.
+
+    Coarse-grid agglomeration policy, now EXPLICIT: through round 4 the
+    coarse levels were replicated by accident of size (mesh-indivisible
+    rows hit shard_ell's replicate branch); the round-5 row-padding to
+    128 makes them divisible, and sharding them would put the wide-band
+    Galerkin operators on the fully-unrolled per-diagonal gspmd fallback
+    (their halo slab exceeds a shard) — measured 124,468 collective-
+    permutes in the 8-device dryrun program vs ~600 with levels >= 1
+    replicated.  Coarse work is tiny; replication is the right layout.
+    """
+    levels = []
+    for li, lvl in enumerate(amg.levels):
+        if li == 0:
+            levels.append(
+                AMGLevel(
+                    shard_ell(lvl.A, mesh),
+                    shard_ell(lvl.P, mesh),
+                    shard_vector(lvl.dinv, mesh),
+                    lvl.lmax,
+                )
+            )
+        else:
+            levels.append(
+                AMGLevel(
+                    _replicate_op(lvl.A, mesh),
+                    _replicate_op(lvl.P, mesh),
+                    replicate(lvl.dinv, mesh),
+                    lvl.lmax,
+                )
+            )
     return AMG(
         levels,
         replicate(amg.coarse_inv, mesh),

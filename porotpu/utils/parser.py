@@ -46,6 +46,11 @@ FLAGS = (
      dict(type=float, help="simulation end time (overrides the driver default)")),
     (("--dtype",), "dtype", "dtype",
      dict(type=str, help="device dtype: float32 or float64")),
+    (("--solver-chunk",), "solver_chunk", "solver chunk",
+     dict(type=int, help="run the outer Krylov loop as python-level chunks "
+          "of this many iterations (identical restart semantics when a "
+          "multiple of the restart length; XLA:TPU long-f64-program "
+          "workaround, see output/ANALYSIS.md)")),
     (("--pc-dtype",), "pc_dtype", "pc dtype",
      dict(type=str, help="preconditioner payload dtype (mixed precision: "
           "e.g. float32 under a float64 outer solve)")),

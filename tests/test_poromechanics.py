@@ -108,6 +108,33 @@ def test_footing_3way_matches_direct(pc_type):
     assert rel < 2e-4, f"{pc_type}: rel err {rel}"
 
 
+def test_solver_chunk_matches_single_program():
+    """"solver chunk" (python-level restarted continuation) must reproduce
+    the single-program iteration count and solution when the chunk is a
+    multiple of the restart length — the XLA:TPU long-f64-program
+    workaround must not change the mathematics (output/ANALYSIS.md §6)."""
+    common = {
+        "pc type": "diagonal",
+        "inner ksp type": "cg",
+        "inner pc type": "hypre",
+        "solver rtol": 1e-8,
+        "solver atol": 1e-12,
+        "gmres restart": 5,
+    }
+    its = {}
+    xs = {}
+    for name, extra in (("single", {}), ("chunked", {"solver chunk": 10})):
+        problem = benchmarks.swelling(
+            Nelements=8, overrides={**common, **extra}
+        )
+        t, it, xref, A, b = _step_with_direct(problem)
+        assert bool(problem.last_result.converged)
+        its[name] = it
+        xs[name] = np.asarray(problem.sol)
+    assert its["single"] == its["chunked"], its
+    assert np.allclose(xs["single"], xs["chunked"], atol=1e-9)
+
+
 def test_swelling_inexact_amg():
     problem = benchmarks.swelling(
         Nelements=8,
