@@ -19,7 +19,7 @@ NS_FOOTING_EXACT=${NS_FOOTING_EXACT:-"10 20"}
 # Quasi-exact (petsc-options-exact-iterative): tight-iterative MUMPS
 # substitute run over the FULL reference exact grid
 # (reference robustness_2d.sh:26-42) — the overlap with the dense-LU
-# cells above validates the substitution (ANALYSIS.md §5).
+# cells above validates the substitution (ANALYSIS.md §6).
 NS_SWELLING_QEXACT=${NS_SWELLING_QEXACT:-"10 20 40 80 160"}
 NS_FOOTING_QEXACT=${NS_FOOTING_QEXACT:-"10 20 40 80"}
 # iteration robustness is a per-step property: the first steps suffice

@@ -779,7 +779,7 @@ class Poromechanics(AbstractPhysics):
         # crash ("TPU worker process crashed — kernel fault") reproduced
         # for the f64 footing 3-way program at maxiter >~ 150 while the
         # same program at maxiter <= 100 and the f32 twin at maxiter=500
-        # run fine (see output/ANALYSIS.md §6).
+        # run fine (see output/ANALYSIS.md §7).
         chunk = int(p.get("solver chunk", 0))
         self._solve_chunks = 1
         if chunk > 0 and solver_type not in ("aar",):

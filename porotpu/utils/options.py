@@ -79,7 +79,7 @@ class OptionsDB:
             # -X_lu_max_size 0 forces the tight-iterative MUMPS substitute
             # (cg+amg at lu_fallback_iters) even where dense LU would fit,
             # so the substitution can be validated against true dense-LU
-            # outer counts on the overlapping grid cells (ANALYSIS.md §5)
+            # outer counts on the overlapping grid cells (ANALYSIS.md §6)
             if "lu_max_size" in items:
                 cfg.lu_max_size = int(items["lu_max_size"])
             if "lu_fallback_iters" in items:

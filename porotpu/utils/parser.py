@@ -50,7 +50,7 @@ FLAGS = (
      dict(type=int, help="run the outer Krylov loop as python-level chunks "
           "of this many iterations (identical restart semantics when a "
           "multiple of the restart length; XLA:TPU long-f64-program "
-          "workaround, see output/ANALYSIS.md)")),
+          "workaround, see output/ANALYSIS.md §7)")),
     (("--pc-dtype",), "pc_dtype", "pc dtype",
      dict(type=str, help="preconditioner payload dtype (mixed precision: "
           "e.g. float32 under a float64 outer solve)")),

@@ -54,7 +54,7 @@ def main():
     print("quasi-exact tight-iterative inner solves — 60 V-cycle-CG")
     print("iterations per block, fp block solved by fieldsplit-preconditioned")
     print("FGMRES to ~1e-12 — petsc-options-exact-iterative, validated")
-    print("against the dense-LU cells in ANALYSIS.md §5.)")
+    print("against the dense-LU cells in ANALYSIS.md §6.)")
 
 
 if __name__ == "__main__":
