@@ -348,6 +348,21 @@ class DIA:
         fwd = [(i, i + 1) for i in range(nsh - 1)]
         bwd = [(i + 1, i) for i in range(nsh - 1)]
 
+        from . import pallas_dia
+
+        # Pallas under shard_map: when the LOCAL shard is 128-aligned f32
+        # (pad multiple = 128 * n_devices), the interior runs through the
+        # streaming kernel — a full-local kernel sweep reading xloc with
+        # zero-extended edges; the hl/hr boundary rows it produces are
+        # wrong (they need the halo slabs) and are REPLACED by the fix-up
+        # sweeps, which recompute O(halo) rows — negligible — while the
+        # kernel output stays independent of the permutes (overlap holds).
+        use_kernel = (
+            nloc % 128 == 0
+            and self.data.dtype == jnp.float32
+            and pallas_dia.enabled()
+        )
+
         def sweep_split(data, xloc):
             # start both permutes first; nothing below depends on them
             # until the boundary fix-ups
@@ -364,11 +379,16 @@ class DIA:
                     _mv_sweep(data, offs, xt, hl, hl, UNROLL_LOCAL, vary=axes)
                 )
             # interior rows [hl, nloc - hr): local-only reads
-            parts.append(
-                _mv_sweep(
-                    data, offs, xloc, hl, ni, UNROLL_LOCAL, vary=axes, row0=hl
+            if use_kernel:
+                y_all = pallas_dia.mv(data, offs, xloc, nloc)
+                parts.append(y_all[hl : nloc - hr])
+            else:
+                parts.append(
+                    _mv_sweep(
+                        data, offs, xloc, hl, ni, UNROLL_LOCAL, vary=axes,
+                        row0=hl,
+                    )
                 )
-            )
             if hr:
                 # bottom rows [nloc - hr, nloc): read [xloc[-(hl+hr):] | right]
                 xb = jnp.concatenate([xloc[nloc - hr - hl :], right])

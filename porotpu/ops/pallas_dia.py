@@ -65,9 +65,18 @@ T_MAX = int(os.environ.get("PORO_PALLAS_T", "256"))
 VMEM_BUDGET = int(os.environ.get("PORO_PALLAS_VMEM", str(96 * 1024 * 1024)))
 
 
+def _interpret_mode() -> bool:
+    # PORO_PALLAS_INTERPRET=1: dispatch the kernels in interpreter mode on
+    # any backend — lets CPU tests exercise the PRODUCTION dispatch paths
+    # (incl. the kernel inside the shard_map halo body) end-to-end
+    return os.environ.get("PORO_PALLAS_INTERPRET", "0") == "1"
+
+
 def enabled() -> bool:
     if not HAVE_PALLAS or os.environ.get("PORO_PALLAS", "1") == "0":
         return False
+    if _interpret_mode():
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -147,12 +156,14 @@ def _kernel_call(offsets, nd, R, dtype_name, interpret):
     return call, lo_rows, hi_rows, T
 
 
-def mv(data, offsets, xe, nrows, interpret=False):
+def mv(data, offsets, xe, nrows, interpret=None):
     """Banded matvec via the Pallas kernel.
 
     data: (nd, nrows) with nrows % 128 == 0; offsets: static tuple;
     xe: (ne,) embedded input with ne == nrows.  Returns y (nrows,).
     """
+    if interpret is None:
+        interpret = _interpret_mode()
     nd = data.shape[0]
     R = nrows // LANES
     call, lo_rows, hi_rows, T = _kernel_call(
@@ -269,13 +280,15 @@ def _rkernel_call(offsets, nd, R, dtype_name, interpret):
     return call, ML, MH, T, ntiles
 
 
-def rmv(data, offsets, x, nrows, interpret=False):
+def rmv(data, offsets, x, nrows, interpret=None):
     """Banded transpose matvec via the Pallas kernel.
 
     data: (nd, nrows) with nrows % 128 == 0; offsets: static tuple;
     x: (nrows,).  Returns y (nrows,) over the EMBEDDED column space
     (ne == nrows; the caller gathers col_emb / truncates to ncols).
     """
+    if interpret is None:
+        interpret = _interpret_mode()
     nd = data.shape[0]
     R = nrows // LANES
     call, ML, MH, T, ntiles = _rkernel_call(
