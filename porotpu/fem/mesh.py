@@ -240,17 +240,16 @@ def refine_uniform(mesh: Mesh) -> Mesh:
 
 
 def refine_marked(mesh: Mesh, marked: np.ndarray, passes: int = 2) -> Mesh:
-    """Conforming local refinement of marked cells (2D, Rivara bisection).
+    """Conforming local refinement of marked cells (Rivara longest-edge
+    bisection, dimension-generic: triangles AND tetrahedra).
 
     ``marked``: boolean array over cells.  Each pass bisects every marked
-    triangle by its longest edge, recursively bisecting neighbors to keep
-    the mesh conforming.  Two passes subdivide a marked triangle into ~4
+    simplex by its longest edge, recursively bisecting neighbors to keep
+    the mesh conforming.  Two passes subdivide a marked cell into ~4
     children, matching the granularity of DOLFIN refine(mesh, markers)
-    (reference lib/MeshCreation.py:59-74).
+    (reference lib/MeshCreation.py:59-74, which is dimension-generic the
+    same way).
     """
-    if mesh.dim != 2:
-        raise NotImplementedError("local refinement implemented for 2D")
-    verts = list(map(tuple, mesh.vertices))
     vert_arr = [np.array(v) for v in mesh.vertices]
     cells = [tuple(c) for c in mesh.cells]
     marked_now = set(np.nonzero(marked)[0].tolist())
@@ -264,14 +263,20 @@ def refine_marked(mesh: Mesh, marked: np.ndarray, passes: int = 2) -> Mesh:
         # _bisect_pass returns marked child indices via closure
         marked_now = _bisect_pass.last_marked_children
 
-    return Mesh(2, np.array(vert_arr), np.array(cells, dtype=np.int64))
+    return Mesh(mesh.dim, np.array(vert_arr), np.array(cells, dtype=np.int64))
 
 
 def _bisect_pass(verts: np.ndarray, cells: np.ndarray, marked: set):
-    """One Rivara longest-edge bisection pass. Returns (cells, verts)."""
+    """One Rivara longest-edge bisection pass (any simplex dimension).
+
+    A simplex is bisected by replacing each endpoint of its longest edge
+    with the edge midpoint (the generic child rule — in 2D this is the
+    classic triangle bisection, in 3D the tetrahedral longest-edge
+    bisection).  Returns (cells, verts).
+    """
     nv = verts.shape[0]
     vert_list = [verts[i] for i in range(nv)]
-    midpoint = {}  # frozenset(edge) -> new vertex id
+    midpoint = {}  # sorted edge -> new vertex id
 
     def get_mid(a, b):
         key = (min(a, b), max(a, b))
@@ -280,77 +285,61 @@ def _bisect_pass(verts: np.ndarray, cells: np.ndarray, marked: set):
             midpoint[key] = len(vert_list) - 1
         return midpoint[key]
 
-    def longest_edge(tri):
-        a, b, c = tri
-        pa, pb, pc = vert_list[a], vert_list[b], vert_list[c]
-        l_ab = np.sum((pa - pb) ** 2)
-        l_bc = np.sum((pb - pc) ** 2)
-        l_ac = np.sum((pa - pc) ** 2)
+    def cell_edges(cell):
+        return [
+            (min(cell[i], cell[j]), max(cell[i], cell[j]))
+            for i in range(len(cell))
+            for j in range(i + 1, len(cell))
+        ]
+
+    def longest_edge(cell):
         # deterministic tie-break by vertex ids
         cand = [
-            (l_bc, (min(b, c), max(b, c))),
-            (l_ac, (min(a, c), max(a, c))),
-            (l_ab, (min(a, b), max(a, b))),
+            (-np.sum((vert_list[e[0]] - vert_list[e[1]]) ** 2), e)
+            for e in cell_edges(cell)
         ]
-        cand.sort(key=lambda t: (-t[0], t[1]))
+        cand.sort(key=lambda t: (t[0], t[1]))
         return cand[0][1]
 
-    # iteratively: bisect cells whose longest edge is split, until conforming
-    tris = [tuple(c) for c in cells]
-    from_marked = [i in marked for i in range(len(tris))]
-    # queue of triangle indices to bisect
-    todo = set(marked)
-    out = []  # final triangles (tri, from_marked)
-    alive = {i: tris[i] for i in range(len(tris))}
-    origin = {i: from_marked[i] for i in range(len(tris))}
-    next_id = len(tris)
+    simps = [tuple(c) for c in cells]
+    from_marked = [i in marked for i in range(len(simps))]
+    alive = {i: simps[i] for i in range(len(simps))}
+    origin = {i: from_marked[i] for i in range(len(simps))}
+    next_id = len(simps)
 
-    # First split all marked triangles' longest edges (creating midpoints),
-    # then resolve non-conformity: any alive triangle having a split edge
+    # First split all marked cells' longest edges (creating midpoints),
+    # then resolve non-conformity: any alive cell having a split edge
     # must be bisected by its longest edge (splitting more edges), repeat.
-    for i in list(todo):
-        le = longest_edge(alive[i])
-        get_mid(*le)
+    for i in list(marked):
+        get_mid(*longest_edge(alive[i]))
 
     changed = True
     while changed:
         changed = False
         for i in list(alive.keys()):
-            tri = alive[i]
-            a, b, c = tri
-            edges = [
-                (min(b, c), max(b, c)),
-                (min(a, c), max(a, c)),
-                (min(a, b), max(a, b)),
-            ]
-            split = [e for e in edges if e in midpoint]
-            if not split:
+            cell = alive[i]
+            if not any(e in midpoint for e in cell_edges(cell)):
                 continue
-            le = longest_edge(tri)
-            if le not in midpoint:
-                get_mid(*le)
-            m = midpoint[le]
-            # opposite vertex of le
-            opp = [v for v in tri if v not in le][0]
-            t1 = (opp, le[0], m)
-            t2 = (opp, m, le[1])
+            le = longest_edge(cell)
+            m = get_mid(*le)
+            rest = tuple(v for v in cell if v not in le)
+            t1 = rest + (le[0], m)
+            t2 = rest + (m, le[1])
             del alive[i]
-            alive[next_id] = t1
-            origin[next_id] = origin[i]
-            next_id += 1
-            alive[next_id] = t2
-            origin[next_id] = origin[i]
-            next_id += 1
+            for child in (t1, t2):
+                alive[next_id] = child
+                origin[next_id] = origin[i]
+                next_id += 1
             changed = True
 
-    out_tris = []
+    out_cells = []
     marked_children = set()
-    for j, (i, tri) in enumerate(sorted(alive.items())):
-        out_tris.append(tri)
+    for j, (i, cell) in enumerate(sorted(alive.items())):
+        out_cells.append(cell)
         if origin[i]:
             marked_children.add(j)
     _bisect_pass.last_marked_children = marked_children
-    return out_tris, vert_list
+    return out_cells, vert_list
 
 
 _bisect_pass.last_marked_children = set()

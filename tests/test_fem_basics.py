@@ -140,6 +140,41 @@ def test_footing_mesh_locally_refined_and_conforming():
     assert areas[top_center].mean() < 0.5 * areas[~top_center].mean()
 
 
+def test_refine_marked_3d_conforming():
+    """3D local refinement (Rivara longest-edge bisection on tets,
+    reference lib/MeshCreation.py:66-73 dimension-generic refine): marked
+    cells refine, the mesh stays conforming, total volume is preserved,
+    and a P2 Poisson solve on the refined mesh still works."""
+    from porotpu.fem.mesh import refine_marked
+
+    mesh, *_ = generate_cube(3, 1.0)
+    _, detJ0 = assemble.cell_geometry(mesh)
+    vol0 = detJ0.sum() / 6.0
+    # mark cells touching the top-center region
+    vc = mesh.vertices[mesh.cells]
+    marked = (vc[:, :, 2].min(axis=1) > 0.6) & (
+        (vc[:, :, 0].min(axis=1) > 0.2) & (vc[:, :, 0].max(axis=1) < 0.8)
+    )
+    assert marked.any()
+    fine = refine_marked(mesh, marked, passes=2)
+    assert fine.num_cells > mesh.num_cells
+    _check_conforming(fine)
+    _, detJ = assemble.cell_geometry(fine)
+    assert (detJ > 0).all()
+    assert np.isclose(detJ.sum() / 6.0, vol0)
+    # marked zone ended up finer than the rest
+    vcf = fine.vertices[fine.cells]
+    zone = (vcf[:, :, 2].min(axis=1) > 0.6) & (
+        (vcf[:, :, 0].min(axis=1) > 0.2) & (vcf[:, :, 0].max(axis=1) < 0.8)
+    )
+    vols = detJ / 6.0
+    assert vols[zone].mean() < 0.7 * vols[~zone].mean()
+    # FE sanity: P2 stiffness on the refined mesh has the constant nullspace
+    V = FunctionSpace(fine, 2)
+    K = assemble.stiffness(V)
+    assert np.allclose(K @ np.ones(V.num_dofs), 0.0, atol=1e-9)
+
+
 def test_mass_matrix_total():
     mesh, *_ = generate_square(4, 1.0)
     Vp = FunctionSpace(mesh, 1)
