@@ -276,7 +276,10 @@ class DIA:
         emb = None if col_emb is None else jnp.asarray(col_emb, dtype=jnp.int32)
         dataT = None
         if store_transpose and np_dtype == np.float32:
-            ne = n if col_emb is None else max(n, int(col_emb.max()) + 1)
+            # embedded-column size, matching the class ne semantics (ncols
+            # when there is no embedding — rectangular blocks index columns
+            # beyond nrows)
+            ne = m if col_emb is None else max(n, int(col_emb.max()) + 1)
             dT = np.zeros((nd, ne), dtype=np_dtype)
             dT[didx, ecol] = coo.data
             dataT = jnp.asarray(dT)

@@ -281,6 +281,23 @@ def test_dia_transposed_layout_matches():
     assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
 
 
+def test_store_transpose_rect_no_emb():
+    """Regression: store_transpose on a RECTANGULAR block without a column
+    embedding must size dataT by ncols (class ne semantics) — round-5 bug:
+    ne=nrows raised IndexError in from_csr for ncols > nrows."""
+    rng = np.random.default_rng(12)
+    n, m = 40, 64
+    rows = np.repeat(np.arange(n), 2)
+    cols = np.clip(rows + rng.integers(0, 20, size=rows.size), 0, m - 1)
+    A = sp.csr_matrix((rng.normal(size=rows.size), (rows, cols)), shape=(n, m))
+    D = DIA.from_csr(A, dtype=jnp.float32, store_transpose=True)
+    assert D.dataT is not None and D.dataT.shape[1] == D.ne == m
+    x = rng.normal(size=m).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(D.matvec(jnp.asarray(x))), A @ x, rtol=2e-5
+    )
+
+
 def test_pallas_rmv_kernel_col_emb_interpret():
     """Restriction-like rectangular P^T r through the transpose kernel:
     coarse columns embedded into the 128-aligned fine row lattice."""

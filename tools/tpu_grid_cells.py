@@ -43,6 +43,18 @@ CELLS = {
         {"dtype": "float64", "pc dtype": "float32", "solver chunk": 100},
         "[f64+f32pc]",
     ),
+    "f3w-inexact-40-f32": (
+        "footing", 40, "undrained 3-way", "petsc-options-inexact",
+        "robustness-2d-footing-3way-inexact.out",
+        {"dtype": "float32", "solver chunk": 100, "solver maxiter": 600},
+        "[f32 validation]",
+    ),
+    "f3w-inexact-80-f32": (
+        "footing", 80, "undrained 3-way", "petsc-options-inexact",
+        "robustness-2d-footing-3way-inexact.out",
+        {"dtype": "float32", "solver chunk": 100, "solver maxiter": 800},
+        "[f32]",
+    ),
     "f3w-qexact-10-f32": (
         "footing", 10, "undrained 3-way", "petsc-options-exact-iterative",
         "robustness-2d-footing-3way-qexact.out",
